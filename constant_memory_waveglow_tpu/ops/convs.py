@@ -1,0 +1,161 @@
+"""Convolution primitives, laid out for the TPU MXU.
+
+All activations use ``[B, C, T]`` (1-D) / ``[B, C, H, W]`` (2-D) layout.  XLA
+lowers these convolutions onto the MXU; 1x1 convolutions are written as
+``dot_general`` contractions so they map to batched GEMMs directly.
+
+Weight layouts follow the PyTorch convention ``[C_out, C_in, K]`` so that
+reference hyperparameters / initializers translate 1:1 (reference uses
+``nn.Conv1d`` etc. throughout, e.g. ``model/waveglow.py:28-38``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+# Matmul/conv precision for fp32 inputs on TPU.
+#   HIGHEST -> full fp32 accumulation (needed for invertibility round-trips)
+#   DEFAULT -> bf16 passes (fastest, used where precision is not critical)
+_DEFAULT_PRECISION = lax.Precision.HIGHEST
+
+
+def set_default_precision(p):
+    """Set the global conv/matmul precision ('default'|'high'|'highest')."""
+    global _DEFAULT_PRECISION
+    if isinstance(p, str):
+        p = {
+            "default": lax.Precision.DEFAULT,
+            "high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST,
+        }[p.lower()]
+    _DEFAULT_PRECISION = p
+
+
+def get_default_precision():
+    return _DEFAULT_PRECISION
+
+
+def _prec(precision):
+    return _DEFAULT_PRECISION if precision is None else precision
+
+
+def torch_conv_uniform_init(key, shape, fan_in=None, dtype=jnp.float32):
+    """PyTorch Conv default init: kaiming_uniform(a=sqrt(5)).
+
+    For weight ``[C_out, C_in, *K]`` this is U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    with ``fan_in = C_in * prod(K)`` — the initialization every reference conv
+    uses implicitly via ``nn.Conv1d``/``nn.Conv2d`` defaults.
+    """
+    if fan_in is None:
+        fan_in = int(np.prod(shape[1:]))
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def conv1d(x, w, *, dilation=1, padding="same", groups=1, precision=None):
+    """1-D convolution.  x: [B, Cin, T], w: [Cout, Cin//groups, K] -> [B, Cout, T'].
+
+    ``padding='same'`` pads ``dilation*(K-1)//2`` on both sides (output length
+    == input length for odd K), matching the reference's non-causal layers
+    (``model/waveglow.py:27-30``).  Pass an explicit ``[(lo, hi)]`` otherwise.
+    """
+    k = w.shape[-1]
+    if padding == "same":
+        pad = dilation * (k - 1) // 2
+        padding = [(pad, pad)]
+    elif padding == "valid":
+        padding = [(0, 0)]
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        precision=_prec(precision),
+    )
+
+
+def conv1x1(x, w, *, precision=None):
+    """Pointwise conv as a GEMM.  x: [B, Cin, T], w: [Cout, Cin] -> [B, Cout, T]."""
+    if w.ndim == 3:  # accept [Cout, Cin, 1]
+        w = w[..., 0]
+    return lax.dot_general(
+        w,
+        x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=_prec(precision),
+    ).transpose(1, 0, 2)
+
+
+def conv2d_causal_h(x, w, *, h_dilation=1, dilation=1, precision=None):
+    """2-D conv, causal along height, 'same' along width.
+
+    x: [B, Cin, H, W], w: [Cout, Cin, Kh, Kw].  Height is padded only on the
+    top by ``h_dilation*(Kh-1)`` so output row i depends on input rows <= i —
+    the WaveFlow height-causal convolution (reference ``model/waveflow.py:25-26,42``).
+    """
+    kh, kw = w.shape[-2:]
+    h_pad = h_dilation * (kh - 1)
+    w_pad = dilation * (kw - 1) // 2
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=[(h_pad, 0), (w_pad, w_pad)],
+        rhs_dilation=(h_dilation, dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_prec(precision),
+    )
+
+
+def conv2d(x, w, *, h_dilation=1, dilation=1, padding="valid", precision=None):
+    """Plain 2-D dilated conv with explicit padding. x: [B,Cin,H,W], w: [Cout,Cin,Kh,Kw]."""
+    if padding == "valid":
+        padding = [(0, 0), (0, 0)]
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=padding,
+        rhs_dilation=(h_dilation, dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_prec(precision),
+    )
+
+
+def conv_transpose1d(x, w, *, stride, padding, groups=1, precision=None):
+    """PyTorch-semantics ConvTranspose1d via an input-dilated convolution.
+
+    x: [B, Cin, T]; w: [Cin, Cout//groups, K] (the *PyTorch ConvTranspose1d*
+    weight layout, so reference upsampler weights translate directly —
+    ``model/waveglow.py:126-129``).  Output length = (T-1)*stride - 2*padding + K.
+
+    Implementation: insert ``stride-1`` zeros between inputs (``lhs_dilation``),
+    pad ``K-1-padding`` on both sides, and correlate with the kernel flipped in
+    time and transposed to [Cout, Cin//groups, K].
+    """
+    k = w.shape[-1]
+    # [Cin, Cout//groups, K] -> [Cout, Cin//groups, K]
+    if groups == 1:
+        w_flip = jnp.flip(w, -1).transpose(1, 0, 2)
+    else:
+        cin = w.shape[0]
+        cpg = cin // groups  # in-channels per group
+        wg = jnp.flip(w, -1).reshape(groups, cpg, w.shape[1], k)
+        w_flip = wg.transpose(0, 2, 1, 3).reshape(groups * w.shape[1], cpg, k)
+    pad = k - 1 - padding
+    return lax.conv_general_dilated(
+        x,
+        w_flip,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        precision=_prec(precision),
+    )

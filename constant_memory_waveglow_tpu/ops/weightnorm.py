@@ -1,0 +1,60 @@
+"""Weight normalization as an explicit functional reparameterization.
+
+The reference wraps most convs in ``torch.nn.utils.weight_norm``
+(``utils.py:9-16``, applied at e.g. ``model/waveglow.py:72,76,90``) and fuses
+it away for inference (``inference.py:17``).  Here a weight-normed parameter is
+simply the pytree ``{"v": ..., "g": ...}`` with ``w = g * v / ||v||`` (norm
+taken over all dims except dim 0, per PyTorch's default ``dim=0``), and fusing
+replaces it with ``{"w": ...}``.  ``wn_weight`` resolves either form, so model
+code is agnostic to whether fusion has happened.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _norm(v):
+    axes = tuple(range(1, v.ndim))
+    return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+
+
+def wn_init(v):
+    """Create a weight-norm param dict from an initial weight tensor.
+
+    g is initialized to ||v|| so the effective weight equals v at init
+    (PyTorch ``weight_norm`` semantics).
+    """
+    return {"v": v, "g": _norm(v)}
+
+
+def wn_weight(p):
+    """Resolve a maybe-weight-normed param ({'v','g'} or {'w'} or raw array)."""
+    if isinstance(p, dict):
+        if "w" in p:
+            return p["w"]
+        v, g = p["v"], p["g"]
+        return g * v / _norm(v)
+    return p
+
+
+def fuse_weight_norms(params):
+    """Replace every {'v','g'} leaf-dict with the fused {'w'} form.
+
+    The TPU analog of the reference's ``remove_weight_norms``
+    (``utils.py:9-11``): done once before inference so the per-step
+    normalization disappears from the compiled graph.
+    """
+
+    def rec(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"v", "g"}:
+                return {"w": wn_weight(node)}
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(rec(v) for v in node)
+        return node
+
+    return rec(params)
