@@ -1,0 +1,85 @@
+"""Checkpoint / resume via Orbax.
+
+Capability parity with the reference's Lightning checkpointing
+(``model/lightning.py:30-31``, ``train.py:65-78``): the full experiment config
+is embedded alongside the weights so a checkpoint alone can rebuild the
+experiment (optionally with a config override), and optimizer state + step
+are restored on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _dir(path):
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(ckpt_dir, step, state: dict, config: dict = None):
+    """state: pytree dict (params / opt_state / step...).  Writes
+    ``<ckpt_dir>/<step>/state`` plus a ``config.json`` sidecar."""
+    ckpt_dir = _dir(ckpt_dir)
+    path = os.path.join(ckpt_dir, str(step))
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state, force=True)
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config, f, indent=2)
+
+
+def latest_step(ckpt_dir):
+    ckpt_dir = _dir(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def resolve_checkpoint(path):
+    """Accept either a ckpt root (returns its latest step dir) or a step dir."""
+    path = _dir(path)
+    if os.path.isdir(os.path.join(path, "state")):
+        return path
+    step = latest_step(path)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under {path}")
+    return os.path.join(path, str(step))
+
+
+def load_config_from_checkpoint(path):
+    path = resolve_checkpoint(path)
+    cfg = os.path.join(path, "config.json")
+    if not os.path.exists(cfg):
+        return None
+    with open(cfg) as f:
+        return json.load(f)
+
+
+def restore_checkpoint(path, abstract_state):
+    """Restore into the structure of ``abstract_state`` (a live or abstract pytree)."""
+    path = resolve_checkpoint(path)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        if hasattr(x, "dtype") else x,
+        abstract_state,
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(path, "state"), abstract)
+
+
+def prune_checkpoints(ckpt_dir, keep=3):
+    ckpt_dir = _dir(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    for s in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(ckpt_dir, str(s)), ignore_errors=True)

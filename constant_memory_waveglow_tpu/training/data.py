@@ -1,0 +1,130 @@
+"""Random-segment WAV dataset + threaded prefetching loader.
+
+The reference consumes ``RandomWAVDataset(data_dir, size, segment,
+deterministic)`` from a git submodule (``.gitmodules:1-3``; behavior
+re-derived from the configs, see SURVEY.md §2.2 row 19): a virtual dataset of
+``size`` items per epoch, each a random ``segment``-sample crop from a random
+wav under ``data_dir``, fed through a DataLoader with worker processes.
+
+TPU-native equivalent: memory-mapped crop reads (only the segment touches
+RAM), a thread pool for overlap with device compute, and batches delivered as
+host numpy arrays ready for ``jax.device_put`` with a batch sharding.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+
+import numpy as np
+
+from ..utils.config import Registry
+from ..utils.audio import crop_wav, wav_num_samples
+
+DATASET_REGISTRY = Registry("dataset")
+
+
+@DATASET_REGISTRY.register("RandomWAVDataset")
+class RandomWAVDataset:
+    def __init__(self, data_dir, size, segment, deterministic=False):
+        data_dir = os.path.expanduser(data_dir)
+        self.files = sorted(
+            glob.glob(os.path.join(data_dir, "**", "*.wav"), recursive=True)
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no .wav files under {data_dir}")
+        self.size = size
+        self.segment = segment
+        self.deterministic = deterministic
+        self._lengths = {}
+
+    def __len__(self):
+        return self.size
+
+    def _file_len(self, path):
+        n = self._lengths.get(path)
+        if n is None:
+            n, _ = wav_num_samples(path)
+            self._lengths[path] = n
+        return n
+
+    def sample(self, rng: np.random.Generator, index=None):
+        """One random segment [segment] float32."""
+        if self.deterministic and index is not None:
+            rng = np.random.default_rng(index)
+        path = self.files[int(rng.integers(len(self.files)))]
+        n = self._file_len(path)
+        if n <= self.segment:
+            x, _ = crop_wav(path, 0, n)
+            return np.pad(x, (0, self.segment - len(x)))
+        start = int(rng.integers(n - self.segment))
+        x, _ = crop_wav(path, start, self.segment)
+        return x
+
+    def __getitem__(self, index):
+        return self.sample(np.random.default_rng(), index)
+
+
+class DataLoader:
+    """Threaded batch loader: yields [B, segment] float32 numpy arrays.
+
+    Mirrors the reference's ``DataLoader(batch_size, shuffle, num_workers,
+    prefetch_factor, pin_memory)`` config surface (``model/lightning.py:46-50``);
+    ``shuffle``/``pin_memory`` are accepted for config compatibility
+    (sampling is random either way; pinning is meaningless on TPU hosts).
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
+                 prefetch_factor=4, pin_memory=False, seed=None, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(2, prefetch_factor)
+        self.seed = seed
+        self.steps_per_epoch = len(dataset) // batch_size
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def epoch(self, epoch_idx=0):
+        """Iterate one epoch of batches with background prefetch threads."""
+        n_batches = self.steps_per_epoch
+        out_q = queue.Queue(maxsize=self.prefetch)
+        idx_q = queue.Queue()
+        for i in range(n_batches):
+            idx_q.put(i)
+
+        base_seed = (self.seed if self.seed is not None else np.random.SeedSequence().entropy)
+        stop = threading.Event()
+
+        def worker(wid):
+            rng = np.random.default_rng((int(base_seed) & 0xFFFFFFFF, epoch_idx, wid))
+            while not stop.is_set():
+                try:
+                    bi = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = np.stack([
+                    self.dataset.sample(rng, bi * self.batch_size + j)
+                    for j in range(self.batch_size)
+                ])
+                out_q.put((bi, batch))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(n_batches):
+                _, batch = out_q.get()
+                yield batch
+        finally:
+            stop.set()
+
+
+def build_dataset(config):
+    from ..utils.config import get_instance
+
+    return get_instance(DATASET_REGISTRY, config)

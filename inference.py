@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Inference CLI — analysis + synthesis benchmark, parity with reference
+``inference.py:13-73``.
+
+Usage:
+  python inference.py <ckpt> <in.wav> <out.wav> [-s sigma] [-n n_group] [--bf16]
+
+Loads a checkpoint (config embedded), fuses weight norms, runs a timed
+analysis pass (prints z stats + forward log-likelihood + kHz) and a timed
+synthesis pass (prints kHz), and writes the generated audio.  ``--bf16`` is
+the TPU analog of the reference's ``--half``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import time
+
+
+def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
+    from constant_memory_waveglow_tpu.training import Experiment, checkpoint
+    from constant_memory_waveglow_tpu.utils.audio import load_wav, save_wav
+
+    config = checkpoint.load_config_from_checkpoint(ckpt)
+    exp = Experiment(config)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    state = checkpoint.restore_checkpoint(ckpt, state)
+    params = exp._infer_params(state)
+    params = fuse_weight_norms(params)  # remove_weight_norms (inference.py:17)
+
+    y, sr = load_wav(infile)
+    y = y[None]  # [1, T]
+
+    if n_group is None:  # default: crop to the model's own group size
+        n_group = getattr(exp.model, "n_group", None)
+    if n_group:
+        offset = y.shape[1] % n_group
+        if offset:
+            y = y[:, :-offset]
+
+    cond = exp.conditioner(jnp.asarray(y))
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if hasattr(a, "astype") else a, params)
+        cond = cond.astype(dtype)
+        y = y.astype(np.float32)
+
+    model = exp.model
+
+    fwd = jax.jit(lambda p, x, h: model.forward(p, x, h))
+    x_in = jnp.asarray(y, dtype)
+    z, logdet = jax.block_until_ready(fwd(params, x_in, cond))  # compile
+    start = time.time()
+    z, logdet = jax.block_until_ready(fwd(params, x_in, cond))
+    cost = time.time() - start
+    z = np.asarray(z, np.float64).squeeze()
+
+    print(float(z.mean()), float(z.std(ddof=1)))
+    print("Forward LL:", float(np.asarray(logdet, np.float64).mean()) / z.shape[0] - 0.5 *
+          (float((z**2).mean()) / sigma**2 + math.log(2 * math.pi) + 2 * math.log(sigma)))
+    print("Time cost: {:.4f}, Speed: {:.4f} kHz".format(cost, z.size / cost / 1000))
+
+    infer = jax.jit(lambda p, h, k: model.infer(p, h, k, sigma))
+    key = jax.random.PRNGKey(0)
+    x = jax.block_until_ready(infer(params, cond, key))  # compile
+    start = time.time()
+    x = jax.block_until_ready(infer(params, cond, key))
+    cost = time.time() - start
+
+    x = np.asarray(x, np.float32)
+    print("Time cost: {:.4f}, Speed: {:.4f} kHz".format(cost, x.size / cost / 1000))
+    print(float(x.max()), float(x.min()))
+
+    save_wav(outfile, x.reshape(-1), sr)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Inferencer")
+    parser.add_argument("ckpt", type=str)
+    parser.add_argument("infile", type=str)
+    parser.add_argument("outfile", type=str)
+    parser.add_argument("-s", "--sigma", type=float, default=0.6)
+    parser.add_argument("-n", "--n-group", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+
+    main(args.ckpt, args.infile, args.outfile, args.sigma, args.bf16,
+         args.n_group, args.platform)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Training CLI — TPU-native counterpart of reference ``train.py``.
+
+Usage:
+  python train.py --config configs/waveglow_LJ_speech.json
+  python train.py --ckpt-path runs/exp/ckpt --lr 5e-5          # resume, force lr
+
+Capability parity with reference ``train.py:48-100``: JSON config, seed,
+resume from checkpoint with optional config override, per-epoch
+reconstruction audio of a test file (sigma=0.7), learning-rate override on
+resume, per-step metric logging.  Data parallelism is a ``data`` mesh axis
+with the batch sharded across devices (the DDP equivalent; global batch ==
+config batch, as in ``train.py:51-53``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU WaveGlow-family trainer")
+    parser.add_argument("--config", type=str, help="config file path")
+    parser.add_argument("--ckpt-path", type=str, help="checkpoint to resume from")
+    parser.add_argument("--test-file", type=str, help="wav reconstructed to TB each epoch")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=None, help="force learning rate")
+    parser.add_argument("--max-epochs", type=int, default=100)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--logdir", type=str, default=None)
+    parser.add_argument("--precision", type=str, default="highest",
+                        choices=["default", "high", "highest"],
+                        help="matmul precision (the --no-tf32 analog)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force jax platform (e.g. cpu)")
+    parser.add_argument("--keep-ckpts", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from constant_memory_waveglow_tpu.ops import set_default_precision
+    from constant_memory_waveglow_tpu.parallel.mesh import (
+        make_mesh, batch_sharding, replicate)
+    from constant_memory_waveglow_tpu.training import (
+        Experiment, DataLoader, MetricsLogger, build_dataset, checkpoint)
+    from constant_memory_waveglow_tpu.utils.config import load_config
+    from constant_memory_waveglow_tpu.utils.audio import load_wav
+
+    set_default_precision(args.precision)
+
+    config = load_config(args.config) if args.config else None
+    if args.ckpt_path:
+        ckpt_config = checkpoint.load_config_from_checkpoint(args.ckpt_path)
+        if config is None:
+            config = ckpt_config
+    assert config is not None, "need --config or a checkpoint with embedded config"
+    if args.lr is not None:  # ChangeLRCallback equivalent (train.py:37-45)
+        config = copy.deepcopy(config)
+        config["optimizer"]["args"]["lr"] = args.lr
+
+    name = config.get("name", "experiment").replace(" ", "_")
+    logdir = args.logdir or os.path.join("runs", name)
+    ckpt_dir = os.path.join(logdir, "ckpt")
+    logger = MetricsLogger(logdir)
+
+    exp = Experiment(config)
+    key = jax.random.PRNGKey(args.seed)
+    state = exp.init_state(key)
+    if args.ckpt_path:
+        state = checkpoint.restore_checkpoint(args.ckpt_path, state)
+        print(f"resumed from {args.ckpt_path} at step {int(state['step'])}")
+
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    state = replicate(mesh, state)
+    step_fn = exp.make_train_step()
+
+    dataset = build_dataset(config["dataset"])
+    loader = DataLoader(dataset, seed=args.seed, **config["data_loader"])
+    print(f"{len(dataset.files)} wav files; {loader.steps_per_epoch} steps/epoch; "
+          f"{jax.device_count()} devices")
+
+    test_y = None
+    if args.test_file:
+        test_y, test_sr = load_wav(args.test_file)
+
+    step = int(state["step"])
+    t0 = time.time()
+    for epoch in range(args.max_epochs):
+        for batch in loader.epoch(epoch):
+            batch = jax.device_put(batch, bsh)
+            state, metrics = step_fn(state, batch)
+            step += 1
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["lr"] = config["optimizer"]["args"].get("lr", 0.0)
+            logger.log_scalars(step, metrics)
+            if step % 50 == 0 or step == 1:
+                dt = time.time() - t0
+                print(f"epoch {epoch} step {step} loss {metrics['loss']:.4f} "
+                      f"logdet {metrics['logdet']:.4f} z_std {metrics['z_std']:.4f} "
+                      f"({dt:.1f}s)", flush=True)
+            if args.max_steps and step >= args.max_steps:
+                break
+
+        checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state), config)
+        checkpoint.prune_checkpoints(ckpt_dir, keep=args.keep_ckpts)
+
+        if test_y is not None:  # TestFileCallBack equivalent (train.py:17-34)
+            cond = exp.conditioner(np.asarray(test_y)[None])
+            pred = exp.infer(state, cond, jax.random.PRNGKey(epoch), sigma=0.7)
+            logger.log_audio(step, "reconstruct_audio", np.asarray(pred), test_sr)
+
+        if args.max_steps and step >= args.max_steps:
+            break
+
+    checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state), config)
+    print(f"done at step {step}; checkpoints in {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
