@@ -1,0 +1,289 @@
+"""WaveFlow — 2-D height-causal autoregressive flow.
+
+TPU-native re-design of reference ``WaveFlow`` (``model/waveflow.py:14-265``).
+Audio is squeezed to an image [B, 1, n_group, T']; each flow predicts
+``(log_s, t)`` for rows 1..G-1 from rows 0..G-2 through an 8-layer 2-D WN
+whose convolutions are *causal in height* (top-padded) and 'same' in time;
+after each flow the transformed rows are flipped (or mixed by an optional
+height-axis invertible 1x1).
+
+Synthesis is autoregressive over the ``n_group`` height rows.  The reference's
+per-layer Python ring buffers (``model/waveflow.py:53-67,137-151``) become a
+single ``lax.scan`` whose carry holds one [B, res, 2*h_dil+1, T'] rolling
+window per layer — the Fast-WaveNet conv cache expressed as a compiled loop,
+with the conditioning projection V(y) hoisted out of the scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import FlowBase
+from ..flows.invconv import InvertibleConv1x1
+from ..ops.convs import (conv1x1, conv2d, conv2d_causal_h, conv_transpose1d,
+                         torch_conv_uniform_init)
+from ..ops.weightnorm import wn_init, wn_weight
+from ..ops.gate import gated_tanh_packed
+
+
+# height-dilation schedules keyed by n_group (model/waveflow.py:81-87)
+DILATION_DICT = {
+    8: [1] * 8,
+    16: [1] * 8,
+    32: [1, 2, 4] * 2 + [1, 2],
+    64: [1, 2, 4, 8, 16, 1, 2, 4],
+    128: [1, 2, 4, 8, 16, 32, 64, 1],
+}
+
+
+def _conv2d_param(key, shape, bias, wnorm=True):
+    kw, kb = jax.random.split(key)
+    w = torch_conv_uniform_init(kw, shape)
+    p = {"w": wn_init(w) if wnorm else w}
+    if bias:
+        fan_in = int(np.prod(shape[1:]))
+        bound = 1.0 / np.sqrt(fan_in)
+        p["b"] = jax.random.uniform(kb, (shape[0],), minval=-bound, maxval=bound)
+    return p
+
+
+def _apply_1x1_2d(p, x):
+    """[Cout, Cin, 1, 1] pointwise conv on [B, C, H, W]."""
+    w = wn_weight(p["w"])
+    y = conv2d(x, w)
+    if "b" in p:
+        y = y + p["b"][None, :, None, None]
+    return y
+
+
+class WN2D:
+    """8-layer height-causal gated conv stack (reference ``WN2D``,
+    ``model/waveflow.py:70-151``)."""
+
+    def __init__(self, n_group, aux_channels, dilation_channels=256,
+                 residual_channels=256, skip_channels=256, bias=False,
+                 zero_init=True):
+        self.n_group = n_group
+        self.aux_channels = aux_channels
+        self.dilation_channels = dilation_channels
+        self.residual_channels = residual_channels
+        self.skip_channels = skip_channels
+        self.bias = bias
+        self.zero_init = zero_init
+        self.h_dilations = DILATION_DICT[n_group]
+        self.dilations = [2**i for i in range(8)]
+        self.depth = 8
+
+    def init(self, key):
+        keys = jax.random.split(key, 3 + self.depth)
+        d, r, s = self.dilation_channels, self.residual_channels, self.skip_channels
+        params = {
+            "V": _conv2d_param(keys[0], (2 * d * self.depth, self.aux_channels, 1), self.bias),
+            "start": _conv2d_param(keys[1], (r, 1, 1, 1), self.bias),
+            "layers": [],
+        }
+        for i in range(self.depth):
+            k1, k2 = jax.random.split(keys[3 + i])
+            last = i == self.depth - 1
+            out_ch = s if last else r + s
+            params["layers"].append({
+                "W": _conv2d_param(k1, (2 * d, r, 3, 3), self.bias),
+                "W_o": _conv2d_param(k2, (out_ch, d, 1, 1), self.bias),
+            })
+        end_w = (jnp.zeros((2, s, 1, 1)) if self.zero_init
+                 else torch_conv_uniform_init(keys[2], (2, s, 1, 1)))
+        params["end"] = {"w": end_w}
+        if self.bias:
+            params["end"]["b"] = jnp.zeros((2,))
+        return params
+
+    def _cond_chunks(self, params, y):
+        """V(y) -> list of per-layer [B, 2*dil, 1, W] chunks
+        (hoisted once per flow; reference caches this across AR steps,
+        ``model/waveflow.py:142-143``)."""
+        p = params["V"]
+        v = conv1x1(y, wn_weight(p["w"]))
+        if "b" in p:
+            v = v + p["b"][None, :, None]
+        v = v[:, :, None, :]  # [B, 2*d*depth, 1, W]
+        d2 = 2 * self.dilation_channels
+        return [v[:, i * d2 : (i + 1) * d2] for i in range(self.depth)]
+
+    def apply(self, params, x, y):
+        """x: [B, 1, H, W] rows 0..G-2; y: [B, aux, W] -> (log_s, t) [B, 1, H, W]."""
+        x = _apply_1x1_2d(params["start"], x)
+        cond = self._cond_chunks(params, y)
+        cum_skip = 0.0
+        for i, lp in enumerate(params["layers"]):
+            w = wn_weight(lp["W"]["w"])
+            xy = conv2d_causal_h(x, w, h_dilation=self.h_dilations[i],
+                                 dilation=self.dilations[i])
+            if "b" in lp["W"]:
+                xy = xy + lp["W"]["b"][None, :, None, None]
+            z = gated_tanh_packed(xy + cond[i])
+            out = _apply_1x1_2d(lp["W_o"], z)
+            if i == self.depth - 1:
+                skip = out
+            else:
+                x = x + out[:, : self.residual_channels]
+                skip = out[:, self.residual_channels :]
+            cum_skip = cum_skip + skip
+        out = _apply_1x1_2d(params["end"], cum_skip)
+        log_s, t = jnp.split(out, 2, axis=1)
+        return log_s, t
+
+    # -------------------------------------------------------- AR cached step
+    def init_buffers(self, batch, width, dtype):
+        """Zero ring buffers: one [B, res, 2*hd+1, W] window per layer."""
+        r = self.residual_channels
+        return tuple(
+            jnp.zeros((batch, r, 2 * hd + 1, width), dtype)
+            for hd in self.h_dilations
+        )
+
+    def ar_step(self, params, x_row, cond, buffers):
+        """One autoregressive row step with conv caches.
+
+        x_row: [B, 1, 1, W] (the last generated row); cond: per-layer chunks;
+        buffers: rolling windows.  Returns (log_s, t, new_buffers), each map
+        output [B, 1, 1, W].  Equivalent to the reference's
+        ``reverse_mode_forward`` chain (``model/waveflow.py:53-67,137-151``).
+        """
+        x = _apply_1x1_2d(params["start"], x_row)
+        new_buffers = []
+        cum_skip = 0.0
+        for i, lp in enumerate(params["layers"]):
+            buf = jnp.concatenate([buffers[i][:, :, 1:], x], axis=2)
+            new_buffers.append(buf)
+            w = wn_weight(lp["W"]["w"])
+            # valid conv over the (2*hd+1)-row window -> exactly 1 output row
+            pad_t = self.dilations[i]
+            xy = conv2d(buf, w, h_dilation=self.h_dilations[i],
+                        dilation=self.dilations[i],
+                        padding=[(0, 0), (pad_t, pad_t)])
+            if "b" in lp["W"]:
+                xy = xy + lp["W"]["b"][None, :, None, None]
+            z = gated_tanh_packed(xy + cond[i])
+            out = _apply_1x1_2d(lp["W_o"], z)
+            if i == self.depth - 1:
+                skip = out
+            else:
+                x = x + out[:, : self.residual_channels]
+                skip = out[:, self.residual_channels :]
+            cum_skip = cum_skip + skip
+        out = _apply_1x1_2d(params["end"], cum_skip)
+        log_s, t = jnp.split(out, 2, axis=1)
+        return log_s, t, tuple(new_buffers)
+
+
+class WaveFlow(FlowBase):
+    def __init__(self, flows, n_group, n_mels, use_conv1x1, memory_efficient,
+                 reverse_mode=False, **wn_kwargs):
+        super().__init__(256, reverse_mode)  # hop hard-coded (model/waveflow.py:163)
+        self.flows = flows
+        self.n_group = n_group
+        self.n_mels = n_mels
+        self.use_conv1x1 = use_conv1x1
+        self.sub_sr = self._hop_length // n_group
+
+        self.WNs = [WN2D(n_group, n_mels, **wn_kwargs) for _ in range(flows)]
+        self.invconv1x1 = (
+            [InvertibleConv1x1(n_group, memory_efficient=memory_efficient,
+                               reverse_mode=reverse_mode) for _ in range(flows)]
+            if use_conv1x1 else None)
+
+    def init(self, key):
+        keys = jax.random.split(key, 1 + 2 * self.flows)
+        k_up = self.sub_sr * 2 + 1
+        up_w = torch_conv_uniform_init(keys[0], (self.n_mels, self.n_mels, k_up),
+                                       fan_in=self.n_mels * k_up)
+        params = {
+            "upsampler": {"w": wn_init(up_w), "b": jnp.zeros((self.n_mels,))},
+            "WNs": [wn.init(k) for wn, k in zip(self.WNs, keys[1::2])],
+        }
+        if self.use_conv1x1:
+            params["invconv1x1"] = [c.init(k) for c, k in
+                                    zip(self.invconv1x1, keys[2::2])]
+        return params
+
+    def _upsample_h(self, params, h):
+        """ReplicationPad(0,1) + ConvTranspose1d + LeakyReLU(0.4), fp32
+        (reference ``model/waveflow.py:169-175,263-265``)."""
+        h = h.astype(jnp.float32)
+        h = jnp.concatenate([h, h[..., -1:]], axis=-1)
+        w = wn_weight(params["upsampler"]["w"]).astype(jnp.float32)
+        y = conv_transpose1d(h, w, stride=self.sub_sr, padding=self.sub_sr // 2)
+        y = y + params["upsampler"]["b"][None, :, None]
+        return jnp.where(y >= 0, y, 0.4 * y)
+
+    def _squeeze(self, x):
+        b = x.shape[0]
+        return x.reshape(b, 1, -1, self.n_group).transpose(0, 1, 3, 2)
+
+    def _unsqueeze(self, x):
+        b = x.shape[0]
+        return x[:, 0].transpose(0, 2, 1).reshape(b, -1)
+
+    def forward_computation(self, params, x, h):
+        y = self._upsample_h(params, h)
+        x = self._squeeze(x)  # [B, 1, G, T']
+        y = y[..., : x.shape[-1]]
+
+        logdet = jnp.zeros((x.shape[0],), x.dtype)
+        for k in range(self.flows):
+            x0 = x[:, :, :1]
+            log_s, t = self.WNs[k].apply(params["WNs"][k], x[:, :, :-1], y)
+            xout = x[:, :, 1:] * jnp.exp(log_s) + t
+            logdet = logdet + log_s.sum((1, 2, 3))
+
+            if self.invconv1x1 is None:
+                x = jnp.concatenate([jnp.flip(xout, 2), x0], 2)
+            else:
+                mixed, log_det_w = self.invconv1x1[k].forward(
+                    params["invconv1x1"][k],
+                    jnp.concatenate([x0, xout], 2)[:, 0])
+                x = mixed[:, None]
+                logdet = logdet + log_det_w
+
+        return self._unsqueeze(x), logdet
+
+    def reverse_computation(self, params, z, h):
+        y = self._upsample_h(params, h)
+        z = self._squeeze(z)
+        y = y[..., : z.shape[-1]]
+        b, _, g, w = z.shape
+
+        logdet = jnp.zeros((b,), z.dtype)
+        for k in range(self.flows - 1, -1, -1):
+            if self.invconv1x1 is None:
+                z = jnp.flip(z, 2)
+            else:
+                mixed, log_det_w = self.invconv1x1[k].reverse(
+                    params["invconv1x1"][k], z[:, 0])
+                z = mixed[:, None]
+                logdet = logdet + log_det_w
+
+            wn = self.WNs[k]
+            wn_params = params["WNs"][k]
+            cond = wn._cond_chunks(wn_params, y)
+            buffers = wn.init_buffers(b, w, z.dtype)
+
+            x0 = z[:, :, :1]  # first row passes through
+
+            def step(carry, z_row):
+                x_prev, buffers, ld = carry
+                log_s, t, buffers = wn.ar_step(wn_params, x_prev, cond, buffers)
+                x_new = (z_row - t) * jnp.exp(-log_s)
+                ld = ld - log_s.sum((1, 2, 3))
+                return (x_new, buffers, ld), x_new
+
+            z_rows = jnp.moveaxis(z[:, :, 1:], 2, 0)[:, :, :, None, :]  # [G-1, B, 1, 1, W]
+            (x_last, _, ld), xs = jax.lax.scan(
+                step, (x0, buffers, jnp.zeros((b,), z.dtype)), z_rows)
+            logdet = logdet + ld
+            rows = jnp.moveaxis(xs[:, :, :, 0], 0, 2)  # [B, 1, G-1, W]
+            z = jnp.concatenate([x0, rows], 2)
+
+        return self._unsqueeze(z), logdet

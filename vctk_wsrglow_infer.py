@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""WSRGlow super-resolution evaluation over a VCTK-style directory — parity
+with reference ``vctk_wsrglow_infer.py:30-89``.
+
+Downsamples each test wav by ``q`` (STFT decimation), super-resolves with the
+model's inverse pass, and reports mean log-spectral distance (LSD, NU-Wave
+protocol: n_fft 2048, hop 512).
+
+Usage:
+  python vctk_wsrglow_infer.py <vctk_test_dir> --ckpt <ckpt> [-q 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def lsd(y_hat, y, n_fft=2048, hop=512):
+    """Log-spectral distance (reference LSD module,
+    ``vctk_wsrglow_infer.py:13-27``)."""
+    import jax.numpy as jnp
+
+    from constant_memory_waveglow_tpu.ops.stft import hann_window, stft_center
+
+    w = jnp.asarray(hann_window(n_fft))
+    sp = jnp.log10(jnp.clip(jnp.abs(stft_center(y_hat, n_fft, hop, w)) ** 2, 1e-8))
+    st = jnp.log10(jnp.clip(jnp.abs(stft_center(y, n_fft, hop, w)) ** 2, 1e-8))
+    return float(jnp.mean(jnp.sqrt(jnp.mean((sp - st) ** 2, axis=-2))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("vctk", type=str)
+    parser.add_argument("-q", type=int, default=2)
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--sigma", type=float, default=1.0)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from constant_memory_waveglow_tpu.ops import STFTDecimate
+    from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
+    from constant_memory_waveglow_tpu.training import Experiment, checkpoint
+    from constant_memory_waveglow_tpu.utils.audio import load_wav
+
+    config = checkpoint.load_config_from_checkpoint(args.ckpt)
+    exp = Experiment(config)
+    state = checkpoint.restore_checkpoint(args.ckpt, exp.init_state(jax.random.PRNGKey(0)))
+    params = fuse_weight_norms(exp._infer_params(state))
+    model = exp.model
+
+    downsampler = STFTDecimate(args.q)
+    reverse = jax.jit(lambda p, z, h: model.reverse(p, z, h))
+
+    test_files = sorted(Path(args.vctk).glob("**/*.wav"))
+    chunk = 8 * args.q
+    lsds = []
+    key = jax.random.PRNGKey(0)
+    for i, f in enumerate(test_files):
+        raw_y, sr = load_wav(str(f))
+        offset = raw_y.shape[0] % chunk
+        y = raw_y[:-offset] if offset else raw_y
+        y_low = downsampler(jnp.asarray(y)[None])
+        key, sub = jax.random.split(key)
+        z = args.sigma * jax.random.normal(sub, (1, y.shape[0]))
+        y_hat, _ = reverse(params, z, y_low)
+        y_hat = np.asarray(y_hat).reshape(-1)
+        if offset:
+            y_hat = np.concatenate([y_hat, np.zeros(offset, np.float32)])
+        val = lsd(jnp.asarray(y_hat), jnp.asarray(raw_y))
+        lsds.append(val)
+        print(f"[{i + 1}/{len(test_files)}] {f.name}: lsd={val:.4f}", flush=True)
+
+    print(sum(lsds) / len(lsds))
+
+
+if __name__ == "__main__":
+    main()
