@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: WaveGlow synthesis throughput on one chip.
+"""Benchmark: WaveGlow synthesis + training throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": "waveglow_synthesis", "value": kHz, "unit": "kHz", "vs_baseline": x}
@@ -7,8 +7,13 @@ Prints ONE JSON line:
 Baseline: the reference reports ~470 kHz WaveGlow synthesis on a GTX 1080 Ti
 (``README.md:64-67``; see BASELINE.md).  Here: the canonical
 waveglow_LJ_speech arch (256-ch WN, 12 flows), weight norms fused, batched
-synthesis of 10-second utterances, steady-state timing (compile excluded).
-Extra measurements ride along in "details".
+synthesis of 10-second utterances.
+
+Timing methodology: on this runtime ``block_until_ready`` can return before
+execution completes, so each measurement runs L iterations of the workload
+*inside one jit* (``lax.scan``), forces execution with a scalar host fetch,
+and differences two scan lengths to cancel fixed dispatch/fetch overhead
+(~25 ms) and compile effects.
 """
 
 from __future__ import annotations
@@ -19,10 +24,31 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 
-def bench_synthesis(batch=4, seconds=10.0, sr=22050, hop=256, dtype=jnp.float32,
-                    precision="default"):
+def _timed_scalar(f, *args, n=3):
+    """Median wall time of f(*args) forced by a scalar device->host fetch."""
+    r = f(*args)
+    float(np.asarray(r.ravel()[0]))  # compile + first exec
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        r = f(*args)
+        float(np.asarray(r.ravel()[0]))
+        ts.append(time.time() - t0)
+    return sorted(ts)[n // 2]
+
+
+def _per_iter_time(make_fn, args, l_short=1, l_long=3):
+    t_short = _timed_scalar(make_fn(l_short), *args)
+    t_long = _timed_scalar(make_fn(l_long), *args)
+    return (t_long - t_short) / (l_long - l_short)
+
+
+def bench_synthesis(batch=4, seconds=10.0, sr=22050, hop=256,
+                    dtype=jnp.float32, precision="default"):
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
     from constant_memory_waveglow_tpu.models import WaveGlow
@@ -34,27 +60,28 @@ def bench_synthesis(batch=4, seconds=10.0, sr=22050, hop=256, dtype=jnp.float32,
                      dilation_channels=256, residual_channels=256,
                      skip_channels=256, depth=8, radix=3, bias=False)
     params = fuse_weight_norms(model.init(jax.random.PRNGKey(0)))
-    if dtype != jnp.float32:
-        params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+    params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
 
     frames = int(seconds * sr) // hop
     h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames), dtype)
 
-    infer = jax.jit(lambda p, h, k: model.infer(p, h, k, 0.7))
-    key = jax.random.PRNGKey(2)
-    jax.block_until_ready(infer(params, h, key))  # compile
-    times = []
-    for _ in range(7):
-        t0 = time.time()
-        jax.block_until_ready(infer(params, h, key))
-        times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]  # median, per-iter device sync
-    samples = batch * frames * hop
-    return samples / dt / 1000.0  # kHz
+    def make(L):
+        @jax.jit
+        def f(p, h, key):
+            def body(c, k):
+                x = model.infer(p, h, k, 0.7)
+                return c + x[..., 0].sum(), None
+
+            s, _ = lax.scan(body, jnp.zeros((), dtype), jax.random.split(key, L))
+            return s[None]
+
+        return f
+
+    dt = _per_iter_time(make, (params, h, jax.random.PRNGKey(2)))
+    return batch * frames * hop / dt / 1000.0  # kHz
 
 
-def bench_train_step(batch=8, segment=16000, dtype=jnp.float32, precision="default",
-                     sr=22050):
+def bench_train_step(batch=8, segment=16000, precision="default", sr=22050):
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.training import Experiment
 
@@ -71,18 +98,36 @@ def bench_train_step(batch=8, segment=16000, dtype=jnp.float32, precision="defau
             "sr": sr, "n_fft": 1024, "hop_length": 256, "f_max": 8000, "n_mels": 80}},
     }
     exp = Experiment(cfg)
-    state = exp.init_state(jax.random.PRNGKey(0))
-    step = exp.make_train_step(donate=False)
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment), jnp.float32) * 0.1
-    state2, m = step(state, x)
-    jax.block_until_ready(m)  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        state2, m = step(state, x)
-        jax.block_until_ready(m)
-        times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+    state0 = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment)) * 0.1
+
+    model, conditioner, criterion, optimizer = (
+        exp.model, exp.conditioner, exp.criterion, exp.optimizer)
+    import optax
+
+    def make(L):
+        @jax.jit
+        def f(state, batch):
+            def body(carry, _):
+                params, opt_state = carry
+
+                def loss_fn(p):
+                    cond = conditioner(batch)
+                    z, logdet = model.forward(p, batch, cond)
+                    return criterion(z, logdet)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (_, _), losses = lax.scan(
+                body, (state["params"], state["opt_state"]), None, length=L)
+            return losses
+
+        return f
+
+    dt = _per_iter_time(make, (state0, x))
     return batch * segment / sr / dt  # audio-seconds per second per chip
 
 

@@ -52,8 +52,14 @@ def _mix(w, x, precision=None):
 
 
 def _logabsdet(w):
-    _, ld = jnp.linalg.slogdet(w)
-    return ld
+    """log|det W| computed in fp32 (TPU linalg supports only f32) and cast back."""
+    _, ld = jnp.linalg.slogdet(w.astype(jnp.float32))
+    return ld.astype(w.dtype)
+
+
+def _inv(w):
+    """Matrix inverse in fp32, cast back to the working dtype."""
+    return jnp.linalg.inv(w.astype(jnp.float32)).astype(w.dtype)
 
 
 def invconv_forward(params, x):
@@ -67,7 +73,7 @@ def invconv_reverse(params, z):
     """Naive reverse: x = W^{-1} z, logdet = -T * log|det W|."""
     w = params["W"]
     t = z.shape[-1]
-    x = jnp.linalg.solve(w[None], z)  # solves W x = z along channel dim
+    x = _mix(_inv(w), z)  # conv with W^{-1}, as the reference does
     return x, -t * _logabsdet(w)
 
 
@@ -88,12 +94,12 @@ def _fwd_bwd(res, cts):
     t = z.shape[-1]
     prec = get_default_precision()
     # reconstruct the input from the output (constant-memory trick)
-    x = jnp.linalg.solve(w[None], z)
+    x = _mix(_inv(w), z)
     # dx = W^T dz
     dx = lax.dot_general(w, dz, (((0,), (1,)), ((), ())), precision=prec).transpose(1, 0, 2)
     # dW = sum_{b,t} dz x^T + W^{-T} dld T
     dw = lax.dot_general(dz, x, (((0, 2), (0, 2)), ((), ())), precision=prec)
-    dw = dw + jnp.linalg.inv(w).T * (dld * t)
+    dw = dw + _inv(w).T * (dld * t)
     return {"W": dw}, dx
 
 
@@ -116,7 +122,7 @@ def _rev_bwd(res, cts):
     dx, dld = cts
     t = x.shape[-1]
     prec = get_default_precision()
-    w_inv_t = jnp.linalg.inv(w).T
+    w_inv_t = _inv(w).T
     # dz = W^{-T} dx
     dz = lax.dot_general(w_inv_t, dx, (((1,), (1,)), ((), ())), precision=prec).transpose(1, 0, 2)
     # dW = -W^{-T} dx x^T - W^{-T} dld T = -dz x^T - W^{-T} dld T

@@ -22,13 +22,15 @@ import numpy as np
 
 from ..utils.config import Registry
 from ..utils.audio import crop_wav, wav_num_samples
+from . import native_loader
 
 DATASET_REGISTRY = Registry("dataset")
 
 
 @DATASET_REGISTRY.register("RandomWAVDataset")
 class RandomWAVDataset:
-    def __init__(self, data_dir, size, segment, deterministic=False):
+    def __init__(self, data_dir, size, segment, deterministic=False,
+                 use_native=True):
         data_dir = os.path.expanduser(data_dir)
         self.files = sorted(
             glob.glob(os.path.join(data_dir, "**", "*.wav"), recursive=True)
@@ -38,6 +40,7 @@ class RandomWAVDataset:
         self.size = size
         self.segment = segment
         self.deterministic = deterministic
+        self.use_native = use_native and native_loader.available()
         self._lengths = {}
 
     def __len__(self):
@@ -46,9 +49,39 @@ class RandomWAVDataset:
     def _file_len(self, path):
         n = self._lengths.get(path)
         if n is None:
-            n, _ = wav_num_samples(path)
+            if self.use_native:
+                info = native_loader.wav_info(path)
+                n = info[0] if info else wav_num_samples(path)[0]
+            else:
+                n, _ = wav_num_samples(path)
             self._lengths[path] = n
         return n
+
+    def sample_batch(self, rng: np.random.Generator, batch_size, base_index=0):
+        """Decode a whole [batch_size, segment] batch, in native threads when
+        the C++ loader is available."""
+        picks = []
+        for j in range(batch_size):
+            r = (np.random.default_rng(base_index + j)
+                 if self.deterministic else rng)
+            path = self.files[int(r.integers(len(self.files)))]
+            n = self._file_len(path)
+            start = 0 if n <= self.segment else int(r.integers(n - self.segment))
+            picks.append((path, start))
+        if self.use_native:
+            out = native_loader.fill_batch(
+                [p for p, _ in picks], [s for _, s in picks], self.segment)
+            if out is not None:
+                return out
+        return np.stack([self._crop(p, s) for p, s in picks])
+
+    def _crop(self, path, start):
+        n = self._file_len(path)
+        if n <= self.segment:
+            x, _ = crop_wav(path, 0, n)
+            return np.pad(x, (0, self.segment - len(x)))
+        x, _ = crop_wav(path, start, self.segment)
+        return x
 
     def sample(self, rng: np.random.Generator, index=None):
         """One random segment [segment] float32."""
@@ -106,10 +139,14 @@ class DataLoader:
                     bi = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = np.stack([
-                    self.dataset.sample(rng, bi * self.batch_size + j)
-                    for j in range(self.batch_size)
-                ])
+                if hasattr(self.dataset, "sample_batch"):
+                    batch = self.dataset.sample_batch(
+                        rng, self.batch_size, bi * self.batch_size)
+                else:
+                    batch = np.stack([
+                        self.dataset.sample(rng, bi * self.batch_size + j)
+                        for j in range(self.batch_size)
+                    ])
                 out_q.put((bi, batch))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)

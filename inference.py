@@ -58,11 +58,15 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
 
     model = exp.model
 
+    # timing note: block_until_ready can return early on this runtime; a
+    # scalar host fetch forces execution with negligible transfer cost.
     fwd = jax.jit(lambda p, x, h: model.forward(p, x, h))
     x_in = jnp.asarray(y, dtype)
-    z, logdet = jax.block_until_ready(fwd(params, x_in, cond))  # compile
+    z, logdet = fwd(params, x_in, cond)
+    float(np.asarray(z.ravel()[0]))  # compile + first exec
     start = time.time()
-    z, logdet = jax.block_until_ready(fwd(params, x_in, cond))
+    z, logdet = fwd(params, x_in, cond)
+    float(np.asarray(z.ravel()[0]))
     cost = time.time() - start
     z = np.asarray(z, np.float64).squeeze()
 
@@ -73,9 +77,11 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
 
     infer = jax.jit(lambda p, h, k: model.infer(p, h, k, sigma))
     key = jax.random.PRNGKey(0)
-    x = jax.block_until_ready(infer(params, cond, key))  # compile
+    x = infer(params, cond, key)
+    float(np.asarray(x.ravel()[0]))  # compile + first exec
     start = time.time()
-    x = jax.block_until_ready(infer(params, cond, key))
+    x = infer(params, cond, key)
+    float(np.asarray(x.ravel()[0]))
     cost = time.time() - start
 
     x = np.asarray(x, np.float32)
