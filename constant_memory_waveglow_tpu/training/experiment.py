@@ -33,6 +33,9 @@ def build_conditioner(config):
 
 class Experiment:
     def __init__(self, config: dict):
+        from ..utils.config import normalize_config
+
+        config = normalize_config(config)
         self.config = config
         self.model = build_model(config["arch"])
         self.conditioner = build_conditioner(config["conditioner"])

@@ -55,4 +55,43 @@ def get_instance(registry: Registry, config: Dict[str, Any], *args, **extra):
 
 def load_config(path: str) -> Dict[str, Any]:
     with open(path) as f:
-        return json.load(f)
+        return normalize_config(json.load(f))
+
+
+def normalize_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Accept both the current config schema and the legacy pytorch-template
+    schema (reference ``configs/musicnet_config.json``: ``n_gpu``, nested
+    ``data_loader.type/args``, ``sr``/``window_size`` inside arch args, no
+    ``conditioner`` block, ``lr_scheduler``/``trainer``/``visualization``
+    blocks).  Unknown top-level blocks are simply carried along; legacy
+    quirks are rewritten into the current schema."""
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    arch_args = cfg.get("arch", {}).get("args", {})
+    legacy = {}
+    for k in ("sr", "window_size"):
+        if k in arch_args:
+            legacy[k] = arch_args.pop(k)
+    if cfg.get("arch", {}).get("type") in ("WaveGlow", "MelGlow", "MRWaveGlow") \
+            and "memory_efficient" not in arch_args:
+        arch_args["memory_efficient"] = False
+
+    dl = cfg.get("data_loader", {})
+    if "type" in dl:  # legacy nested loader block
+        args = dl.get("args", {})
+        cfg["dataset"] = {"type": "RandomWAVDataset", "args": {
+            "data_dir": args.get("data_dir", "."),
+            "size": args.get("size", 10000),
+            "segment": args.get("segment", 16000)}}
+        cfg["data_loader"] = {
+            "batch_size": args.get("batch_size", 1),
+            "num_workers": args.get("num_workers", 4)}
+
+    if "conditioner" not in cfg and "arch" in cfg:
+        cfg["conditioner"] = {"type": "MelSpec", "args": {
+            "sr": legacy.get("sr", 22050),
+            "n_fft": legacy.get("window_size", 1024),
+            "hop_length": arch_args.get("hop_size", 256),
+            "n_mels": arch_args.get("n_mels", 80)}}
+    return cfg

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Verify the constant-memory claim on the compiler level: compile the
+training step for increasing flow counts and report XLA's buffer-assignment
+peak temp memory (the TPU analog of the reference's README table,
+``README.md:50-57``).
+
+Usage:
+  python tools/memory_check.py [--flows 4 8 12 16] [--channels 256]
+                               [--batch 4] [--segment 16000] [--naive]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def peak_temp_bytes(flows, channels, depth, batch, segment, memory_efficient):
+    import jax
+    import jax.numpy as jnp
+
+    from constant_memory_waveglow_tpu.training import Experiment
+
+    cfg = {
+        "arch": {"type": "WaveGlow", "args": {
+            "flows": flows, "n_group": 8, "n_early_every": 10000,
+            "n_early_size": 2, "hop_size": 256, "n_mels": 80,
+            "memory_efficient": memory_efficient,
+            "dilation_channels": channels, "residual_channels": channels,
+            "skip_channels": channels, "depth": depth, "radix": 3,
+            "bias": False}},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 0.7,
+                                                  "elementwise_mean": True}},
+        "conditioner": {"type": "MelSpec", "args": {
+            "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000,
+            "n_mels": 80}},
+    }
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    x = jnp.zeros((batch, segment), jnp.float32)
+    step = exp.make_train_step(donate=False)
+    compiled = jax.jit(step).lower(state, x).compile()
+    mem = compiled.memory_analysis()
+    if mem is None:
+        return None, None
+    temp = getattr(mem, "temp_size_in_bytes", None)
+    total = getattr(mem, "peak_memory_in_bytes", None) or (
+        (getattr(mem, "argument_size_in_bytes", 0) or 0)
+        + (getattr(mem, "output_size_in_bytes", 0) or 0)
+        + (temp or 0))
+    return temp, total
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--flows", type=int, nargs="+", default=[4, 8, 12])
+    p.add_argument("--channels", type=int, default=256)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--segment", type=int, default=16000)
+    p.add_argument("--naive", action="store_true",
+                   help="also measure naive (non-constant-memory) autodiff")
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    modes = [True] + ([False] if args.naive else [])
+    print(f"{'flows':>6} {'mode':>10} {'temp (MB)':>12} {'total (MB)':>12}")
+    for eff in modes:
+        prev = None
+        for flows in args.flows:
+            temp, total = peak_temp_bytes(flows, args.channels, args.depth,
+                                          args.batch, args.segment, eff)
+            name = "efficient" if eff else "naive"
+            t = f"{temp / 1e6:.1f}" if temp is not None else "n/a"
+            tt = f"{total / 1e6:.1f}" if total is not None else "n/a"
+            slope = ""
+            if temp is not None and prev is not None:
+                slope = f"  (+{(temp - prev[1]) / max(flows - prev[0], 1) / 1e6:.1f} MB/flow)"
+            prev = (flows, temp)
+            print(f"{flows:>6} {name:>10} {t:>12} {tt:>12}{slope}")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,12 +39,18 @@ def main():
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu)")
     parser.add_argument("--keep-ckpts", type=int, default=3)
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N steps")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="trap NaNs (the detect_anomaly analog)")
     args = parser.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.parallel.mesh import (
@@ -85,6 +91,8 @@ def main():
 
     dataset = build_dataset(config["dataset"])
     loader = DataLoader(dataset, seed=args.seed, **config["data_loader"])
+    from constant_memory_waveglow_tpu.utils.profiling import model_summary
+    print(model_summary(state["params"]))
     print(f"{len(dataset.files)} wav files; {loader.steps_per_epoch} steps/epoch; "
           f"{jax.device_count()} devices")
 
@@ -94,11 +102,20 @@ def main():
 
     step = int(state["step"])
     t0 = time.time()
+    profiling = False
     for epoch in range(args.max_epochs):
         for batch in loader.epoch(epoch):
+            if args.profile_steps and step == 2 and not profiling:
+                jax.profiler.start_trace(os.path.join(logdir, "profile"))
+                profiling = True
             batch = jax.device_put(batch, bsh)
             state, metrics = step_fn(state, batch)
             step += 1
+            if profiling and step >= 2 + args.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to {logdir}/profile")
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["lr"] = config["optimizer"]["args"].get("lr", 0.0)
             logger.log_scalars(step, metrics)
