@@ -95,18 +95,31 @@ class WN:
         x = _apply_conv1x1(params["start"], x)
         v_all = _apply_conv1x1(params["V"], y)  # [B, 2*d*depth, T]
 
+        from ..ops.pallas import fused_wn_enabled, fused_wn_layer
+        use_fused = fused_wn_enabled() and not self.bias
+
         cum_skip = 0.0
         for i, (lp, dil) in enumerate(zip(params["layers"], self.dilations)):
             v = v_all[:, 2 * d * i : 2 * d * (i + 1)]
-            xy = conv1d(x, wn_weight(lp["W"]["w"]), dilation=dil)
-            if "b" in lp["W"]:
-                xy = xy + lp["W"]["b"][None, :, None]
-            z = gated_tanh_packed(xy + v)
-            out = _apply_conv1x1(lp["W_o"], z)
-            if i == self.depth - 1:
+            last = i == self.depth - 1
+            if use_fused:
+                out = fused_wn_layer(x, v, wn_weight(lp["W"]["w"]),
+                                     wn_weight(lp["W_o"]["w"]), dil,
+                                     has_res=not last)
+            else:
+                xy = conv1d(x, wn_weight(lp["W"]["w"]), dilation=dil)
+                if "b" in lp["W"]:
+                    xy = xy + lp["W"]["b"][None, :, None]
+                z = gated_tanh_packed(xy + v)
+                out = _apply_conv1x1(lp["W_o"], z)
+                if not last:
+                    out = jnp.concatenate(
+                        [x + out[:, : self.residual_channels],
+                         out[:, self.residual_channels :]], axis=1)
+            if last:
                 skip = out
             else:
-                x = x + out[:, : self.residual_channels]
+                x = out[:, : self.residual_channels]
                 skip = out[:, self.residual_channels :]
             cum_skip = cum_skip + skip
 

