@@ -70,7 +70,11 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
     halo = dilation
 
     t_pad = (-t) % t_tile
-    xp = jnp.pad(x, [(0, 0), (0, 0), (halo, halo + t_pad)])
+    # DMA slice sizes along the lane dim must be 128-aligned on TPU
+    win = t_tile + 2 * halo
+    win = ((win + 127) // 128) * 128
+    t_pad_r = t_pad + halo + (win - (t_tile + 2 * halo))
+    xp = jnp.pad(x, [(0, 0), (0, 0), (halo, t_pad_r)])
     vp = jnp.pad(v, [(0, 0), (0, 0), (0, t_pad)]) if t_pad else v
     n_tiles = (t + t_pad) // t_tile
 
@@ -80,7 +84,7 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         cp = pltpu.make_async_copy(
-            xp_ref.at[bi, :, pl.ds(ti * t_tile, t_tile + 2 * halo)], xwin, sem)
+            xp_ref.at[bi, :, pl.ds(ti * t_tile, win)], xwin, sem)
         cp.start()
         cp.wait()
 
@@ -115,7 +119,7 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, o, t + t_pad), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, t_tile + 2 * halo), x.dtype),
+            pltpu.VMEM((c, win), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

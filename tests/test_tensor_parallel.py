@@ -1,0 +1,59 @@
+"""Tensor-parallel (channel-sharded WN) correctness: a 4x2 data x model mesh
+must produce the same loss/updates as a single device, with XLA inserting the
+row-parallel psum at the W_o/end boundaries."""
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as tu
+import numpy as np
+import pytest
+
+from constant_memory_waveglow_tpu.parallel.mesh import (
+    make_mesh, batch_sharding)
+from constant_memory_waveglow_tpu.parallel.tp import (
+    wn_tensor_parallel_shardings, shard_params_tp)
+from constant_memory_waveglow_tpu.training import Experiment
+
+CONFIG = {
+    "arch": {"type": "WaveGlow", "args": {
+        "flows": 2, "n_group": 8, "n_early_every": 4, "n_early_size": 2,
+        "hop_size": 256, "n_mels": 80, "memory_efficient": True,
+        "dilation_channels": 32, "residual_channels": 32, "skip_channels": 32,
+        "depth": 2, "radix": 3, "bias": False}},
+    "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+    "loss": {"type": "WaveGlowLoss", "args": {"sigma": 0.7, "elementwise_mean": True}},
+    "conditioner": {"type": "MelSpec", "args": {
+        "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000, "n_mels": 80}},
+}
+
+
+def test_tp_dp_step_matches_single_device():
+    assert jax.device_count() >= 8
+    exp = Experiment(CONFIG)
+    state0 = exp.init_state(jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (4, 4096)) * 0.1
+    step = exp.make_train_step(donate=False)
+
+    _, m_ref = step(state0, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    sharded_params = shard_params_tp(mesh, state["params"])
+    # verify at least one leaf actually got model-sharded
+    specs = wn_tensor_parallel_shardings(mesh, state["params"])
+    n_sharded = sum(1 for s in tu.tree_leaves(
+        tu.tree_map(lambda s: "model" in str(s.spec), specs,
+                    is_leaf=lambda x: hasattr(x, "spec"))) if s)
+    assert n_sharded > 0
+
+    state = dict(state, params=sharded_params,
+                 opt_state=exp.optimizer.init(sharded_params))
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    state_tp, m_tp = step(state, sharded_batch)
+
+    assert abs(float(m_ref["loss"]) - float(m_tp["loss"])) < 1e-5
+    err = max(tu.tree_leaves(tu.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        jax.device_get(step(state0, batch)[0]["params"]),
+        jax.device_get(state_tp["params"]))))
+    assert err < 1e-5, err
