@@ -10,10 +10,9 @@ waveglow_LJ_speech arch (256-ch WN, 12 flows), weight norms fused, batched
 synthesis of 10-second utterances.
 
 Timing methodology: on this runtime ``block_until_ready`` can return before
-execution completes, so each measurement runs L iterations of the workload
-*inside one jit* (``lax.scan``), forces execution with a scalar host fetch,
-and differences two scan lengths to cancel fixed dispatch/fetch overhead
-(~25 ms) and compile effects.
+execution completes, so each measurement forces execution with a scalar
+device->host fetch and subtracts the measured null-dispatch overhead
+(~25 ms, measured the same way on a trivial jitted op).
 """
 
 from __future__ import annotations
@@ -28,7 +27,7 @@ import numpy as np
 from jax import lax
 
 
-def _timed_scalar(f, *args, n=3):
+def _timed_scalar(f, *args, n=5):
     """Median wall time of f(*args) forced by a scalar device->host fetch."""
     r = f(*args)
     float(np.asarray(r.ravel()[0]))  # compile + first exec
@@ -41,10 +40,16 @@ def _timed_scalar(f, *args, n=3):
     return sorted(ts)[n // 2]
 
 
-def _per_iter_time(make_fn, args, l_short=1, l_long=3):
-    t_short = _timed_scalar(make_fn(l_short), *args)
-    t_long = _timed_scalar(make_fn(l_long), *args)
-    return (t_long - t_short) / (l_long - l_short)
+_OVERHEAD = None
+
+
+def _dispatch_overhead():
+    """Fixed per-call dispatch + scalar-fetch cost on this runtime."""
+    global _OVERHEAD
+    if _OVERHEAD is None:
+        f = jax.jit(lambda x: x + 1.0)
+        _OVERHEAD = _timed_scalar(f, jnp.zeros((8, 128)), n=7)
+    return _OVERHEAD
 
 
 def bench_synthesis(batch=4, seconds=10.0, sr=22050, hop=256,
@@ -65,19 +70,9 @@ def bench_synthesis(batch=4, seconds=10.0, sr=22050, hop=256,
     frames = int(seconds * sr) // hop
     h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames), dtype)
 
-    def make(L):
-        @jax.jit
-        def f(p, h, key):
-            def body(c, k):
-                x = model.infer(p, h, k, 0.7)
-                return c + x[..., 0].sum(), None
-
-            s, _ = lax.scan(body, jnp.zeros((), dtype), jax.random.split(key, L))
-            return s[None]
-
-        return f
-
-    dt = _per_iter_time(make, (params, h, jax.random.PRNGKey(2)))
+    infer = jax.jit(lambda p, h, k: model.infer(p, h, k, 0.7))
+    dt = _timed_scalar(infer, params, h, jax.random.PRNGKey(2))
+    dt = max(dt - _dispatch_overhead(), 1e-6)
     return batch * frames * hop / dt / 1000.0  # kHz
 
 
@@ -101,33 +96,10 @@ def bench_train_step(batch=8, segment=16000, precision="default", sr=22050):
     state0 = exp.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment)) * 0.1
 
-    model, conditioner, criterion, optimizer = (
-        exp.model, exp.conditioner, exp.criterion, exp.optimizer)
-    import optax
-
-    def make(L):
-        @jax.jit
-        def f(state, batch):
-            def body(carry, _):
-                params, opt_state = carry
-
-                def loss_fn(p):
-                    cond = conditioner(batch)
-                    z, logdet = model.forward(p, batch, cond)
-                    return criterion(z, logdet)
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            (_, _), losses = lax.scan(
-                body, (state["params"], state["opt_state"]), None, length=L)
-            return losses
-
-        return f
-
-    dt = _per_iter_time(make, (state0, x))
+    step = exp.make_train_step(donate=False)
+    stepped = jax.jit(lambda s, b: step(s, b)[1]["loss"].reshape(1))
+    dt = _timed_scalar(stepped, state0, x)
+    dt = max(dt - _dispatch_overhead(), 1e-6)
     return batch * segment / sr / dt  # audio-seconds per second per chip
 
 

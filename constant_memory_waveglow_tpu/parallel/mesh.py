@@ -15,6 +15,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def data_axis_size(batch_size: int, n_devices: int = None) -> int:
+    """Largest device count <= n_devices that divides the global batch
+    (reference keeps the global batch constant across world sizes,
+    ``train.py:51-53``)."""
+    if n_devices is None:
+        n_devices = jax.device_count()
+    n = min(n_devices, batch_size)
+    while batch_size % n:
+        n -= 1
+    return max(n, 1)
+
+
 def make_mesh(data: int = None, model: int = 1, devices=None) -> Mesh:
     """Create a ('data', 'model') mesh.  Defaults: all devices on the data axis."""
     if devices is None:

@@ -54,7 +54,7 @@ def main():
 
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.parallel.mesh import (
-        make_mesh, batch_sharding, replicate)
+        make_mesh, batch_sharding, replicate, data_axis_size)
     from constant_memory_waveglow_tpu.training import (
         Experiment, DataLoader, MetricsLogger, build_dataset, checkpoint)
     from constant_memory_waveglow_tpu.utils.config import load_config
@@ -84,7 +84,11 @@ def main():
         state = checkpoint.restore_checkpoint(args.ckpt_path, state)
         print(f"resumed from {args.ckpt_path} at step {int(state['step'])}")
 
-    mesh = make_mesh()
+    n_data = data_axis_size(config["data_loader"]["batch_size"])
+    if n_data < jax.device_count():
+        print(f"note: using {n_data}/{jax.device_count()} devices on the data "
+              f"axis (global batch {config['data_loader']['batch_size']})")
+    mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
     bsh = batch_sharding(mesh)
     state = replicate(mesh, state)
     step_fn = exp.make_train_step()
