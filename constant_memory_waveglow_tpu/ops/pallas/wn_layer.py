@@ -107,7 +107,7 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # haloed x, DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.HBM),  # haloed x, DMA'd manually
             pl.BlockSpec((1, d2, t_tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d2, c, 3), lambda bi, ti: (0, 0, 0),

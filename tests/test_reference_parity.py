@@ -1,0 +1,305 @@
+"""Differential parity against the reference PyTorch implementation.
+
+Loads the reference modules from /root/reference (read-only, torch CPU),
+copies its initialized weights into our parameter pytrees, and asserts the
+TPU-native forward/reverse computations produce the same outputs and logdets.
+This is the strongest available oracle that the re-design preserves the
+reference's math exactly.  Skipped when the reference tree or torch is
+unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(REFERENCE):
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+sys.path.insert(0, REFERENCE)
+
+# The reference's package __init__ pulls in pytorch_lightning and torchaudio,
+# neither of which is on this image; stub just enough for the imports to
+# succeed (the parity tests never exercise those classes).
+import types
+
+if "pytorch_lightning" not in sys.modules:
+    _pl = types.ModuleType("pytorch_lightning")
+
+    class _LM:  # noqa: N801
+        def __init__(self, *a, **k):
+            pass
+
+    _pl.LightningModule = _LM
+    _pl.Callback = object
+    _pl.Trainer = object
+    sys.modules["pytorch_lightning"] = _pl
+
+if "torchaudio" not in sys.modules:
+    _ta = types.ModuleType("torchaudio")
+    _tr = types.ModuleType("torchaudio.transforms")
+
+    class _Stub:  # noqa: N801
+        def __init__(self, *a, **k):
+            raise RuntimeError("torchaudio stub")
+
+    _tr.MelSpectrogram = _Stub
+    _tr.MuLawEncoding = _Stub
+    _ta.transforms = _tr
+    sys.modules["torchaudio"] = _ta
+    sys.modules["torchaudio.transforms"] = _tr
+
+import jax
+import jax.numpy as jnp
+
+torch.manual_seed(0)
+
+
+# ------------------------------------------------------------- weight mapping
+def t2j(t):
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def conv_param(mod):
+    """torch conv (possibly weight-normed) -> our param dict."""
+    p = {}
+    if hasattr(mod, "weight_v"):
+        p["w"] = {"v": t2j(mod.weight_v), "g": t2j(mod.weight_g)}
+    else:
+        p["w"] = t2j(mod.weight)
+    if mod.bias is not None:
+        p["b"] = t2j(mod.bias)
+    return p
+
+
+def wn_params(wn):
+    out = {
+        "V": conv_param(wn.V),
+        "start": conv_param(wn.start),
+        "layers": [],
+        "end": {"w": t2j(wn.end.weight)},
+    }
+    if wn.end.bias is not None:
+        out["end"]["b"] = t2j(wn.end.bias)
+    for layer in wn.layers:
+        out["layers"].append({"W": conv_param(layer.W),
+                              "W_o": conv_param(layer.W_o)})
+    return out
+
+
+def waveglow_params(ref):
+    return {
+        "upsampler": conv_param(ref.upsampler),
+        "invconv1x1": [{"W": t2j(c.weight)[..., 0]} for c in ref.invconv1x1],
+        "WNs": [{"F": wn_params(b.F)} for b in ref.WNs],
+    }
+
+
+# -------------------------------------------------------------------- helpers
+def max_err(a, b):
+    return float(np.abs(np.asarray(a) - b.detach().cpu().numpy()).max())
+
+
+@pytest.mark.parametrize("mem_efficient", [False, True])
+def test_waveglow_forward_reverse_parity(mem_efficient):
+    from model.waveglow import WaveGlow as RefWaveGlow
+
+    from constant_memory_waveglow_tpu.models import WaveGlow
+
+    kw = dict(flows=4, n_group=8, n_early_every=2, n_early_size=2,
+              hop_size=256, n_mels=20, dilation_channels=16,
+              residual_channels=16, skip_channels=16, depth=2, radix=3,
+              bias=False)
+    torch.manual_seed(1)
+    ref = RefWaveGlow(memory_efficient=False, zero_init=False, **kw).eval()
+    ours = WaveGlow(memory_efficient=mem_efficient, zero_init=False, **kw)
+    params = waveglow_params(ref)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((2, 20, 18)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(h))
+    z, ld = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 2e-5
+    assert max_err(ld, ld_ref) < 2e-2  # logdet is a large sum
+
+    with torch.no_grad():
+        xr_ref, ldr_ref = ref.reverse_computation(z_ref, torch.from_numpy(h))
+    xr, ldr = ours.reverse_computation(params, z, jnp.asarray(h))
+    assert max_err(xr, xr_ref) < 2e-5
+    assert max_err(ldr, ldr_ref) < 2e-2
+
+
+def test_waveglow_infer_length_matches_reference():
+    from model.waveglow import WaveGlow as RefWaveGlow
+
+    from constant_memory_waveglow_tpu.models import WaveGlow
+
+    kw = dict(flows=2, n_group=8, n_early_every=4, n_early_size=2,
+              hop_size=256, n_mels=20, dilation_channels=16,
+              residual_channels=16, skip_channels=16, depth=2, radix=3,
+              bias=False)
+    ref = RefWaveGlow(memory_efficient=False, **kw).eval()
+    ours = WaveGlow(memory_efficient=False, **kw)
+    h = torch.randn(1, 20, 12)
+    with torch.no_grad():
+        audio_ref = ref.infer(h, 0.7)
+    params = waveglow_params(ref)
+    audio = ours.infer(params, jnp.asarray(h.numpy()), jax.random.PRNGKey(0), 0.7)
+    assert tuple(audio.shape) == tuple(audio_ref.shape)
+
+
+def test_waveflow_forward_parity():
+    from model.waveflow import WaveFlow as RefWaveFlow
+
+    from constant_memory_waveglow_tpu.models import WaveFlow
+
+    kw = dict(flows=2, n_group=8, n_mels=20, use_conv1x1=False,
+              memory_efficient=False, dilation_channels=16,
+              residual_channels=16, skip_channels=16, bias=False)
+    torch.manual_seed(2)
+    ref = RefWaveFlow(zero_init=False, **kw).eval()
+    ours = WaveFlow(zero_init=False, **kw)
+
+    params = {
+        "upsampler": conv_param(ref.upsampler[1]),
+        "WNs": [],
+    }
+    for wn in ref.WNs:
+        out = {
+            "V": conv_param(wn.V),
+            "start": conv_param(wn.start),
+            "layers": [{"W": conv_param(l.W), "W_o": conv_param(l.W_o)}
+                       for l in wn.layers],
+            "end": {"w": t2j(wn.end.weight)},
+        }
+        params["WNs"].append(out)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((2, 20, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(h))
+    z, ld = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 2e-5
+    assert max_err(ld, ld_ref) < 2e-2
+
+    # reverse (the scan-cached AR path) against the reference's buffered loop
+    with torch.no_grad():
+        xr_ref, _ = ref.reverse_computation(z_ref, torch.from_numpy(h))
+    xr, _ = ours.reverse_computation(params, z, jnp.asarray(h))
+    assert max_err(xr, xr_ref) < 5e-5
+
+
+def test_melglow_forward_parity():
+    from model.melglow import MelGlow as RefMelGlow
+
+    from constant_memory_waveglow_tpu.models import MelGlow
+
+    kw = dict(flows=2, n_group=8, n_early_every=4, n_early_size=2,
+              hop_size=256, n_mels=20, dilation_channels=16,
+              residual_channels=16, skip_channels=16, depth=2, radix=3,
+              predict_channels=8, predict_layers=1, bias=False)
+    torch.manual_seed(6)
+    ref = RefMelGlow(memory_efficient=False, zero_init=False, **kw).eval()
+    ours = MelGlow(memory_efficient=False, zero_init=False, **kw)
+
+    def bn_param(bn):
+        return ({"scale": t2j(bn.weight), "bias": t2j(bn.bias)},
+                {"mean": t2j(bn.running_mean), "var": t2j(bn.running_var)})
+
+    def pred_params(pred):
+        p_start = {"w": t2j(pred.start[0].weight)}
+        if pred.start[0].bias is not None:
+            p_start["b"] = t2j(pred.start[0].bias)
+        sp, ss = bn_param(pred.start[1])
+        params = {"start": p_start, "start_bn": sp, "blocks": [],
+                  "end": {"w": t2j(pred.end.weight)}}
+        if pred.end.bias is not None:
+            params["end"]["b"] = t2j(pred.end.bias)
+        state = {"start_bn": ss, "blocks": []}
+        for blk in pred.res_blocks:
+            b1p, b1s = bn_param(blk[1])
+            b2p, b2s = bn_param(blk[4])
+            c1 = {"w": t2j(blk[0].weight)}
+            c2 = {"w": t2j(blk[3].weight)}
+            if blk[0].bias is not None:
+                c1["b"] = t2j(blk[0].bias)
+                c2["b"] = t2j(blk[3].bias)
+            params["blocks"].append({"conv1": c1, "bn1": b1p,
+                                     "conv2": c2, "bn2": b2p})
+            state["blocks"].append({"bn1": b1s, "bn2": b2s})
+        return params, state
+
+    variables = {"params": {"invconv1x1": [], "WNs": []},
+                 "state": {"WNs": []}}
+    for k in range(kw["flows"]):
+        variables["params"]["invconv1x1"].append(
+            {"W": t2j(ref.invconv1x1[k].weight)[..., 0]})
+        wn = ref.WNs[k].F
+        wp = {
+            "start": conv_param(wn.start),
+            "layers": [{"W_o": conv_param(l.W_o)} for l in wn.layers],
+            "end": {"w": t2j(wn.end.weight)},
+        }
+        pp, ps = pred_params(wn.pred)
+        wp["pred"] = pp
+        variables["params"]["WNs"].append(wp)
+        variables["state"]["WNs"].append(ps)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((2, 20, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(h))
+    z, ld = ours.forward_computation(variables, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 5e-5
+    assert max_err(ld, ld_ref) < 5e-2
+
+
+def test_mr_waveglow_forward_parity():
+    from model.mr_waveglow import MRWaveGlow as RefMR
+
+    from constant_memory_waveglow_tpu.models import MRWaveGlow
+
+    kw = dict(prior_flows=2, n_group=8, hop_size=256, n_mels=20, levels=2,
+              flows=2, dilation_channels=16, residual_channels=16,
+              skip_channels=16, depth=2, radix=3, bias=False)
+    torch.manual_seed(4)
+    ref = RefMR(memory_efficient=False, zero_init=False, **kw).eval()
+    ours = MRWaveGlow(memory_efficient=False, zero_init=False, **kw)
+
+    params = {"levels": [], "prior_invconv1x1": [], "prior_WNs": []}
+    for lvl in range(kw["levels"] - 1):
+        lv = {"invconv1x1": [], "WNs": []}
+        for f in range(kw["flows"]):
+            lv["invconv1x1"].append(
+                {"W": t2j(ref.invconv1x1_list[lvl][f].weight)[..., 0]})
+            lv["WNs"].append({"F": wn_params(ref.WNs_list[lvl][f].F)})
+        params["levels"].append(lv)
+    for f in range(kw["prior_flows"]):
+        params["prior_invconv1x1"].append(
+            {"W": t2j(ref.prior_invconv1x1[f].weight)[..., 0]})
+        params["prior_WNs"].append({"F": wn_params(ref.prior_WNs[f].F)})
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((2, 20, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(h))
+    z, ld = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 5e-5
+    assert max_err(ld, ld_ref) < 5e-2
