@@ -77,6 +77,8 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
     xp = jnp.pad(x, [(0, 0), (0, 0), (halo, t_pad_r)])
     vp = jnp.pad(v, [(0, 0), (0, 0), (0, t_pad)]) if t_pad else v
     n_tiles = (t + t_pad) // t_tile
+    # taps leading so the weight block's lane dim is C, not the radix
+    wd_t = jnp.transpose(w_dil, (2, 0, 1))  # [3, 2D, C]
 
     out_dtype = x.dtype
 
@@ -91,7 +93,7 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
         acc = jnp.zeros((d2, t_tile), jnp.float32)
         for k in range(3):
             acc += jax.lax.dot_general(
-                wd_ref[:, :, k], xwin[:, pl.ds(k * halo, t_tile)],
+                wd_ref[k], xwin[:, pl.ds(k * halo, t_tile)],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         xy = acc + v_ref[0].astype(jnp.float32)
         g = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
@@ -110,7 +112,7 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
             pl.BlockSpec(memory_space=pltpu.HBM),  # haloed x, DMA'd manually
             pl.BlockSpec((1, d2, t_tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d2, c, 3), lambda bi, ti: (0, 0, 0),
+            pl.BlockSpec((3, d2, c), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((o, d_half), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -123,7 +125,7 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, vp, w_dil, w_out)
+    )(xp, vp, wd_t, w_out)
     if t_pad:
         out = out[..., :t]
     return out

@@ -61,7 +61,9 @@ torch.manual_seed(0)
 
 # ------------------------------------------------------------- weight mapping
 def t2j(t):
-    return jnp.asarray(t.detach().cpu().numpy())
+    # explicit copy: jnp.asarray can zero-copy alias numpy views of torch
+    # storage on CPU, and torch optimizers mutate weights in place
+    return jnp.asarray(t.detach().cpu().numpy().copy())
 
 
 def conv_param(mod):
@@ -154,6 +156,57 @@ def test_waveglow_infer_length_matches_reference():
     params = waveglow_params(ref)
     audio = ours.infer(params, jnp.asarray(h.numpy()), jax.random.PRNGKey(0), 0.7)
     assert tuple(audio.shape) == tuple(audio_ref.shape)
+
+
+def test_training_loss_curve_parity():
+    """Same init weights, same batches: three Adam steps through the
+    reference (torch autograd + torch.optim.Adam) and through our jitted
+    constant-memory train step must produce the same loss sequence — the
+    loss-curve-parity oracle for the training stack."""
+    from model.waveglow import WaveGlow as RefWaveGlow
+    from model.loss import WaveGlowLoss as RefLoss
+
+    from constant_memory_waveglow_tpu.training import Experiment
+
+    kw = dict(flows=2, n_group=8, n_early_every=4, n_early_size=2,
+              hop_size=256, n_mels=20, dilation_channels=16,
+              residual_channels=16, skip_channels=16, depth=2, radix=3,
+              bias=False)
+    torch.manual_seed(8)
+    ref = RefWaveGlow(memory_efficient=False, zero_init=False, **kw).train()
+    crit = RefLoss(sigma=0.7, elementwise_mean=True)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3, weight_decay=0)
+
+    cfg = {
+        "arch": {"type": "WaveGlow",
+                 "args": dict(kw, memory_efficient=True, zero_init=False)},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-3, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss",
+                 "args": {"sigma": 0.7, "elementwise_mean": True}},
+        "conditioner": {"type": "MelSpec", "args": {
+            "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000,
+            "n_mels": 20}},
+    }
+    exp = Experiment(cfg)
+    state = {"params": waveglow_params(ref), "model_state": {},
+             "opt_state": None, "step": jnp.zeros((), jnp.int32)}
+    state["opt_state"] = exp.optimizer.init(state["params"])
+    step_fn = exp.make_train_step(donate=False)
+
+    rng = np.random.default_rng(9)
+    for i in range(3):
+        batch = (rng.standard_normal((2, 4096)) * 0.3).astype(np.float32)
+        cond = np.asarray(exp.conditioner(jnp.asarray(batch)))
+
+        z_t, ld_t = ref(torch.from_numpy(batch), torch.from_numpy(cond))
+        loss_t = crit(z_t, ld_t)
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+
+        state, metrics = step_fn(state, jnp.asarray(batch))
+        assert abs(float(metrics["loss"]) - loss_t.item()) < 2e-4, \
+            (i, float(metrics["loss"]), loss_t.item())
 
 
 def test_waveflow_forward_parity():
