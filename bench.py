@@ -112,6 +112,8 @@ def bench_train_step(batch=8, segment=16000, precision="default", sr=22050):
 
 
 def main():
+    import os
+
     baseline_khz = 470.0
     details = {}
     khz = bench_synthesis()
@@ -120,6 +122,13 @@ def main():
         details["train_audio_s_per_s"] = round(bench_train_step(), 2)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants
+        for tag, kw in [("b16_fp32", dict(batch=16)),
+                        ("b16_bf16", dict(batch=16, dtype=jnp.bfloat16))]:
+            try:
+                details[f"synthesis_khz_{tag}"] = round(bench_synthesis(**kw), 1)
+            except Exception as e:
+                details[f"synthesis_{tag}_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "waveglow_synthesis",
         "value": round(khz, 1),

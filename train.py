@@ -43,6 +43,12 @@ def main():
                         help="capture a jax.profiler trace of N steps")
     parser.add_argument("--debug-nans", action="store_true",
                         help="trap NaNs (the detect_anomaly analog)")
+    parser.add_argument("--no-auto-resume", action="store_true",
+                        help="do not auto-resume from the logdir's latest ckpt")
+    # multi-host bring-up (jax.distributed); all three must be set together
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -51,6 +57,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.num_processes and args.num_processes > 1:
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
 
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.parallel.mesh import (
@@ -76,6 +85,13 @@ def main():
     logdir = args.logdir or os.path.join("runs", name)
     ckpt_dir = os.path.join(logdir, "ckpt")
     logger = MetricsLogger(logdir)
+
+    # preemption recovery: auto-resume from the logdir's latest checkpoint
+    if (args.ckpt_path is None and not args.no_auto_resume
+            and checkpoint.latest_step(ckpt_dir) is not None):
+        args.ckpt_path = ckpt_dir
+        print(f"auto-resuming from {ckpt_dir} "
+              f"(step {checkpoint.latest_step(ckpt_dir)})")
 
     exp = Experiment(config)
     key = jax.random.PRNGKey(args.seed)
