@@ -90,15 +90,18 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
         cp.start()
         cp.wait()
 
+        # MXU operands in bf16 (the semantics of XLA's 'default' precision for
+        # f32 inputs), fp32 accumulation
         acc = jnp.zeros((d2, t_tile), jnp.float32)
         for k in range(3):
             acc += jax.lax.dot_general(
-                wd_ref[k], xwin[:, pl.ds(k * halo, t_tile)],
+                wd_ref[k].astype(jnp.bfloat16),
+                xwin[:, pl.ds(k * halo, t_tile)].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         xy = acc + v_ref[0].astype(jnp.float32)
         g = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
         out = jax.lax.dot_general(
-            wo_ref[:], g.astype(out_dtype),
+            wo_ref[:].astype(jnp.bfloat16), g.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         if has_res:
             x_center = xwin[:, pl.ds(halo, t_tile)].astype(jnp.float32)
