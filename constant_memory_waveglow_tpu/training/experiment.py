@@ -57,7 +57,7 @@ class Experiment:
         }
 
     # ------------------------------------------------------------------- step
-    def make_train_step(self, donate=True):
+    def make_train_step(self, donate=True, compute_dtype=None):
         """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
         Metrics mirror the reference's ``training_step`` log_dict
@@ -65,17 +65,32 @@ class Experiment:
         (torch-unbiased).  Under a mesh with the batch sharded on the
         ``data`` axis and state replicated, XLA inserts the gradient
         all-reduce over ICI — the DDP equivalent.
+
+        ``compute_dtype='bfloat16'`` runs the model math in bf16 with fp32
+        master params and fp32 loss/logdet reduction (the AMP analog of the
+        reference's @custom_fwd/@custom_bwd functions); gradients flow back
+        to fp32 through the cast.
         """
         model, conditioner, criterion = self.model, self.conditioner, self.criterion
         has_state = model.has_state
+        if isinstance(compute_dtype, str):
+            compute_dtype = jnp.dtype(compute_dtype)
 
         def loss_fn(params, model_state, batch):
             cond = conditioner(batch)
+            if compute_dtype is not None:
+                cast = lambda t: jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if hasattr(a, "astype") and jnp.issubdtype(a.dtype, jnp.floating)
+                    else a, t)
+                params, batch, cond = cast(params), cast(batch), cast(cond)
             if has_state:
                 z, logdet, new_state = model.train_forward(params, model_state, batch, cond)
             else:
                 z, logdet = model.forward(params, batch, cond)
                 new_state = model_state
+            z = z.astype(jnp.float32)
+            logdet = logdet.astype(jnp.float32)
             loss = criterion(z, logdet)
             n = z.shape[0] * z.shape[1]
             aux = {

@@ -45,6 +45,8 @@ def main():
                         help="trap NaNs (the detect_anomaly analog)")
     parser.add_argument("--no-auto-resume", action="store_true",
                         help="do not auto-resume from the logdir's latest ckpt")
+    parser.add_argument("--bf16-compute", action="store_true",
+                        help="bf16 model math with fp32 master params (AMP analog)")
     # multi-host bring-up (jax.distributed); all three must be set together
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--num-processes", type=int, default=None)
@@ -107,7 +109,8 @@ def main():
     mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
     bsh = batch_sharding(mesh)
     state = replicate(mesh, state)
-    step_fn = exp.make_train_step()
+    step_fn = exp.make_train_step(
+        compute_dtype="bfloat16" if args.bf16_compute else None)
 
     dataset = build_dataset(config["dataset"])
     loader = DataLoader(dataset, seed=args.seed, **config["data_loader"])
