@@ -25,7 +25,6 @@ from .base import FlowBase
 from ..flows.invconv import InvertibleConv1x1
 from ..flows.coupling import AffineCouplingBlock
 from ..ops.convs import conv1x1, torch_conv_uniform_init
-from ..ops.weightnorm import wn_init, wn_weight
 from ..ops.gate import gated_tanh
 from .wn import _conv_param, _apply_conv1x1
 

@@ -209,14 +209,16 @@ class WaveFlow(FlowBase):
         return params
 
     def _upsample_h(self, params, h):
-        """ReplicationPad(0,1) + ConvTranspose1d + LeakyReLU(0.4), fp32
-        (reference ``model/waveflow.py:169-175,263-265``)."""
+        """ReplicationPad(0,1) + ConvTranspose1d + LeakyReLU(0.4), computed in
+        fp32 regardless of the working dtype and cast back — the reference
+        pins this op to fp32 under AMP (``model/waveflow.py:169-175,263-265``)."""
+        dtype = h.dtype
         h = h.astype(jnp.float32)
         h = jnp.concatenate([h, h[..., -1:]], axis=-1)
         w = wn_weight(params["upsampler"]["w"]).astype(jnp.float32)
         y = conv_transpose1d(h, w, stride=self.sub_sr, padding=self.sub_sr // 2)
-        y = y + params["upsampler"]["b"][None, :, None]
-        return jnp.where(y >= 0, y, 0.4 * y)
+        y = y + params["upsampler"]["b"][None, :, None].astype(jnp.float32)
+        return jnp.where(y >= 0, y, 0.4 * y).astype(dtype)
 
     def _squeeze(self, x):
         b = x.shape[0]

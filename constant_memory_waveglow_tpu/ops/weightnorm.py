@@ -11,7 +11,6 @@ code is agnostic to whether fusion has happened.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

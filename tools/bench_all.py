@@ -35,10 +35,13 @@ def overhead():
     return timed_scalar(f, jnp.zeros((8, 128)), n=7)
 
 
-def bench_model(name, batch=4, seconds=4.0):
+def bench_model(name, batch=4, seconds=4.0, precision="default"):
     from constant_memory_waveglow_tpu.models import build_model
+    from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
     from constant_memory_waveglow_tpu.utils.config import load_config
+
+    set_default_precision(precision)
 
     cfgs = {
         "waveglow": "configs/waveglow_LJ_speech.json",
