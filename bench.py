@@ -51,7 +51,7 @@ def _dispatch_overhead():
     return _OVERHEAD
 
 
-def bench_synthesis(batch=4, seconds=10.0, sr=22050, hop=256,
+def bench_synthesis(batch=16, seconds=10.0, sr=22050, hop=256,
                     dtype=jnp.float32, precision="default"):
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
@@ -116,13 +116,13 @@ def main():
     baseline_khz = 470.0
     details = {}
     khz = bench_synthesis()
-    details["synthesis_khz_b4_fp32"] = round(khz, 1)
+    details["synthesis_khz_b16_fp32"] = round(khz, 1)
     try:
         details["train_audio_s_per_s"] = round(bench_train_step(), 2)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants
-        for tag, kw in [("b16_fp32", dict(batch=16)),
+        for tag, kw in [("b4_fp32", dict(batch=4)),
                         ("b16_bf16", dict(batch=16, dtype=jnp.bfloat16))]:
             try:
                 details[f"synthesis_khz_{tag}"] = round(bench_synthesis(**kw), 1)
