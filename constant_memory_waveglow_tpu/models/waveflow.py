@@ -150,19 +150,29 @@ class WN2D:
         buffers: rolling windows.  Returns (log_s, t, new_buffers), each map
         output [B, 1, 1, W].  Equivalent to the reference's
         ``reverse_mode_forward`` chain (``model/waveflow.py:53-67,137-151``).
+
+        The 3x3 conv over the window degenerates to one output row, which XLA
+        lowers poorly as a conv; instead the 9 taps are gathered explicitly
+        and contracted as a single [2D, C*9] GEMM per layer.
         """
+        from ..ops.convs import get_default_precision
+
+        prec = get_default_precision()
         x = _apply_1x1_2d(params["start"], x_row)
         new_buffers = []
         cum_skip = 0.0
         for i, lp in enumerate(params["layers"]):
             buf = jnp.concatenate([buffers[i][:, :, 1:], x], axis=2)
             new_buffers.append(buf)
-            w = wn_weight(lp["W"]["w"])
-            # valid conv over the (2*hd+1)-row window -> exactly 1 output row
-            pad_t = self.dilations[i]
-            xy = conv2d(buf, w, h_dilation=self.h_dilations[i],
-                        dilation=self.dilations[i],
-                        padding=[(0, 0), (pad_t, pad_t)])
+            w = wn_weight(lp["W"]["w"])  # [2D, C, 3, 3]
+            hd, d = self.h_dilations[i], self.dilations[i]
+            rows = buf[:, :, ::hd] if hd > 1 else buf  # tap rows [B, C, 3, W]
+            rp = jnp.pad(rows, [(0, 0), (0, 0), (0, 0), (d, d)])
+            wdim = buf.shape[-1]
+            taps = jnp.stack([rp[..., k * d : k * d + wdim] for k in range(3)],
+                             axis=3)  # [B, C, 3, 3, W]
+            xy = jnp.einsum("ocij,bcijw->bow", w, taps,
+                            precision=prec)[:, :, None, :]
             if "b" in lp["W"]:
                 xy = xy + lp["W"]["b"][None, :, None, None]
             z = gated_tanh_packed(xy + cond[i])
