@@ -62,6 +62,15 @@ def load_config_from_checkpoint(path):
         return json.load(f)
 
 
+def restore_raw(path):
+    """Restore a checkpoint as saved, without an abstract target — used by
+    inference tooling so lean (fused, optimizer-free) exports load the same
+    way as full training checkpoints."""
+    path = resolve_checkpoint(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(path, "state"))
+
+
 def restore_checkpoint(path, abstract_state):
     """Restore into the structure of ``abstract_state`` (a live or abstract pytree)."""
     path = resolve_checkpoint(path)

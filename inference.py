@@ -32,8 +32,7 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
 
     config = checkpoint.load_config_from_checkpoint(ckpt)
     exp = Experiment(config)
-    state = exp.init_state(jax.random.PRNGKey(0))
-    state = checkpoint.restore_checkpoint(ckpt, state)
+    state = checkpoint.restore_raw(ckpt)
     params = exp._infer_params(state)
     params = fuse_weight_norms(params)  # remove_weight_norms (inference.py:17)
 

@@ -52,7 +52,7 @@ def main():
 
     config = checkpoint.load_config_from_checkpoint(args.ckpt)
     exp = Experiment(config)
-    state = checkpoint.restore_checkpoint(args.ckpt, exp.init_state(jax.random.PRNGKey(0)))
+    state = checkpoint.restore_raw(args.ckpt)
     params = fuse_weight_norms(exp._infer_params(state))
     model = exp.model
 
