@@ -91,6 +91,9 @@ def _fwd_fwd(params, x):
 def _fwd_bwd(res, cts):
     w, z = res
     dz, dld = cts
+    # scheduling barrier: keep this flow's reconstruction tied to its
+    # cotangent so XLA cannot hoist it (see coupling._f_bwd)
+    z, dz = lax.optimization_barrier((z, dz))
     t = z.shape[-1]
     prec = get_default_precision()
     # reconstruct the input from the output (constant-memory trick)
@@ -120,6 +123,7 @@ def _rev_fwd(params, z):
 def _rev_bwd(res, cts):
     w, x = res
     dx, dld = cts
+    x, dx = lax.optimization_barrier((x, dx))  # see coupling._f_bwd
     t = x.shape[-1]
     prec = get_default_precision()
     w_inv_t = _inv(w).T
