@@ -41,20 +41,16 @@ def test_last_layer_no_residual(data):
 
 
 def test_grad_parity(data):
+    """With an identical fixed cotangent, the fused layer's custom bwd (the
+    XLA VJP at the same inputs) must match the direct XLA VJP exactly."""
     x, v, wd, wo = data
-
-    def loss(fn):
-        return lambda *a: (fn(*a) ** 2).sum()
-
-    g1 = jax.grad(loss(lambda x, v, wd, wo: fused_wn_layer(
-        x, v, wd, wo, 4, True, t_tile=256, interpret=True)),
-        argnums=(0, 1, 2, 3))(x, v, wd, wo)
-    g2 = jax.grad(loss(lambda x, v, wd, wo: wn_layer_xla(
-        x, v, wd, wo, 4, True)), argnums=(0, 1, 2, 3))(x, v, wd, wo)
-    # the bwd rule is the identical XLA VJP; residual difference comes only
-    # from the bf16-operand primal feeding the loss cotangent
-    for a, b in zip(g1, g2):
-        assert float(jnp.abs(a - b).max()) < 5e-2
+    out1, vjp1 = jax.vjp(lambda x, v, wd, wo: fused_wn_layer(
+        x, v, wd, wo, 4, True, t_tile=256, interpret=True), x, v, wd, wo)
+    out2, vjp2 = jax.vjp(lambda x, v, wd, wo: wn_layer_xla(
+        x, v, wd, wo, 4, True), x, v, wd, wo)
+    ct = jnp.ones_like(out2)
+    for a, b in zip(vjp1(ct), vjp2(ct)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
 
 
 def test_uneven_length_padding(data):
