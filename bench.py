@@ -5,14 +5,21 @@ Prints ONE JSON line:
   {"metric": "waveglow_synthesis", "value": kHz, "unit": "kHz", "vs_baseline": x}
 
 Baseline: the reference reports ~470 kHz WaveGlow synthesis on a GTX 1080 Ti
-(``README.md:64-67``; see BASELINE.md).  Here: the canonical
+(``README.md:64-67``; see BASELINE.md) — the ratio is cross-hardware by
+nature and labeled as such in details.  Here: the canonical
 waveglow_LJ_speech arch (256-ch WN, 12 flows), weight norms fused, batched
 synthesis of 10-second utterances.
 
-Timing methodology: on this runtime ``block_until_ready`` can return before
-execution completes, so each measurement forces execution with a scalar
-device->host fetch and subtracts the measured null-dispatch overhead
-(~25 ms, measured the same way on a trivial jitted op).
+Timing methodology: every measurement times an N-step *chained* run inside
+one wall-clock interval — each step consumes the previous step's output, so a
+single scalar fetch at the end forces the whole chain and dispatch overhead
+amortizes to nothing.  (Round-1 timed single dispatches minus a measured
+null-dispatch constant; VERDICT.md round 1, weak #4, asked for this.)
+
+Precision: training numbers are reported at the trainer's actual default
+(``train.py --precision high``, the TF32 analog) and additionally at
+``default`` (bf16 MXU passes).  Synthesis is benched fp32-params at
+``default`` precision, matching ``inference.py`` defaults.
 """
 
 from __future__ import annotations
@@ -25,30 +32,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# rough bf16 peak FLOP/s by device kind, for the MFU *estimate*
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
-def _timed_scalar(f, *args, n=5):
-    """Median wall time of f(*args) forced by a scalar device->host fetch."""
-    r = f(*args)
-    float(np.asarray(r.ravel()[0]))  # compile + first exec
-    ts = []
+
+def _device_kind():
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
+
+
+def _peak_flops():
+    kind = _device_kind()
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k) or k.startswith(kind):
+            return v
+    return None
+
+
+def _time_chained_steps(step, state, batch, n=10, warmup=2):
+    """Wall-time per step of ``state, m = step(state, batch)`` over an n-step
+    chain; one fetch at the end forces every step transitively."""
+    s = state
+    for _ in range(warmup):
+        s, m = step(s, batch)
+    jax.block_until_ready(m)
+    float(np.asarray(m.ravel()[0]))  # hard sync: device->host scalar
+    t0 = time.perf_counter()
     for _ in range(n):
-        t0 = time.time()
-        r = f(*args)
-        float(np.asarray(r.ravel()[0]))
-        ts.append(time.time() - t0)
-    return sorted(ts)[n // 2]
+        s, m = step(s, batch)
+    float(np.asarray(m.ravel()[0]))
+    return (time.perf_counter() - t0) / n
 
 
-_OVERHEAD = None
+def _time_chained_calls(f, x, n=5, warmup=1):
+    """Per-call wall time of ``y = f(x_i)`` where each call's input is
+    perturbed by the previous output's first element (forces sequencing)."""
+    out = None
+    for _ in range(warmup):
+        out = f(x)
+    float(np.asarray(out.ravel()[0]))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = x + out.ravel()[0] * 1e-12  # data dependency chains the calls
+        out = f(x)
+    float(np.asarray(out.ravel()[0]))
+    return (time.perf_counter() - t0) / n
 
 
-def _dispatch_overhead():
-    """Fixed per-call dispatch + scalar-fetch cost on this runtime."""
-    global _OVERHEAD
-    if _OVERHEAD is None:
-        f = jax.jit(lambda x: x + 1.0)
-        _OVERHEAD = _timed_scalar(f, jnp.zeros((8, 128)), n=7)
-    return _OVERHEAD
+_WAVEGLOW_ARGS = dict(
+    flows=12, n_group=8, n_early_every=4, n_early_size=2, hop_size=256,
+    n_mels=80, dilation_channels=256, residual_channels=256,
+    skip_channels=256, depth=8, radix=3, bias=False)
 
 
 def bench_synthesis(batch=16, seconds=10.0, sr=22050, hop=256,
@@ -59,75 +103,106 @@ def bench_synthesis(batch=16, seconds=10.0, sr=22050, hop=256,
 
     set_default_precision(precision)
 
-    model = WaveGlow(flows=12, n_group=8, n_early_every=4, n_early_size=2,
-                     hop_size=hop, n_mels=80, memory_efficient=False,
-                     dilation_channels=256, residual_channels=256,
-                     skip_channels=256, depth=8, radix=3, bias=False)
+    model = WaveGlow(memory_efficient=False, **_WAVEGLOW_ARGS)
     params = fuse_weight_norms(model.init(jax.random.PRNGKey(0)))
     params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
 
     frames = int(seconds * sr) // hop
     h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames), dtype)
 
-    infer = jax.jit(lambda p, h, k: model.infer(p, h, k, 0.7))
-    dt = _timed_scalar(infer, params, h, jax.random.PRNGKey(2))
-    dt = max(dt - _dispatch_overhead(), 1e-6)
+    infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 0.7))
+    dt = _time_chained_calls(infer, h)
     return batch * frames * hop / dt / 1000.0  # kHz
 
 
-def bench_train_step(batch=8, segment=16000, precision="default", sr=22050):
+def _train_cfg(arch="WaveGlow", arch_args=None):
+    return {
+        "arch": {"type": arch, "args": dict(
+            arch_args or dict(_WAVEGLOW_ARGS, memory_efficient=True))},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 0.7,
+                                                  "elementwise_mean": True}},
+        "conditioner": {"type": "MelSpec", "args": {
+            "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000,
+            "n_mels": 80}},
+    }
+
+
+def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
+                     cfg=None, n=10, with_flops=False):
+    """audio-seconds/s/chip of the jitted train step (donated state chain).
+
+    Returns (audio_s_per_s, model_tflops_per_s or None)."""
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.training import Experiment
 
     set_default_precision(precision)
-    cfg = {
-        "arch": {"type": "WaveGlow", "args": {
-            "flows": 12, "n_group": 8, "n_early_every": 4, "n_early_size": 2,
-            "hop_size": 256, "n_mels": 80, "memory_efficient": True,
-            "dilation_channels": 256, "residual_channels": 256,
-            "skip_channels": 256, "depth": 8, "radix": 3, "bias": False}},
-        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
-        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 0.7, "elementwise_mean": True}},
-        "conditioner": {"type": "MelSpec", "args": {
-            "sr": sr, "n_fft": 1024, "hop_length": 256, "f_max": 8000, "n_mels": 80}},
-    }
-    exp = Experiment(cfg)
-    state0 = exp.init_state(jax.random.PRNGKey(0))
+    exp = Experiment(cfg or _train_cfg())
+    state = exp.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment)) * 0.1
 
     step = exp.make_train_step(donate=False)
 
-    @jax.jit
-    def stepped(s, b):
+    def chained(s, b):
         new_state, m = step(s, b)
-        # fingerprint over every updated leaf so nothing (especially the
-        # whole backward pass) can be dead-code-eliminated
+        # fingerprint every updated leaf so nothing is dead-code-eliminated
         fp = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(new_state["params"]))
-        return jnp.stack([m["loss"], fp])  # fetching [0] still executes fp
+        return new_state, jnp.stack([m["loss"], fp])
 
-    dt = _timed_scalar(stepped, state0, x)
-    dt = max(dt - _dispatch_overhead(), 1e-6)
-    return batch * segment / sr / dt  # audio-seconds per second per chip
+    chained = jax.jit(chained)
+    flops = None
+    if with_flops:
+        try:
+            cost = chained.lower(state, x).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+    dt = _time_chained_steps(chained, state, x, n=n)
+    tflops = flops / dt / 1e12 if flops else None
+    return batch * segment / sr / dt, tflops
 
 
 def main():
     import os
 
     baseline_khz = 470.0
-    details = {}
+    details = {"device": _device_kind(),
+               "vs_baseline_note": "cross-hardware: ref number is a GTX 1080 Ti"}
     khz = bench_synthesis()
     details["synthesis_khz_b16_fp32"] = round(khz, 1)
     try:
-        details["train_audio_s_per_s"] = round(bench_train_step(), 2)
+        a_s, tflops = bench_train_step(precision="high", with_flops=True)
+        details["train_audio_s_per_s_b8"] = round(a_s, 2)
+        if tflops:
+            details["train_tflops_per_s"] = round(tflops, 1)
+            peak = _peak_flops()
+            if peak:
+                details["train_mfu_est_vs_bf16_peak"] = round(
+                    tflops * 1e12 / peak, 3)
+        details["train_audio_s_per_s_b8_bf16pass"] = round(
+            bench_train_step(precision="default")[0], 2)
+        # the reference's headline config is batch 24 (README.md:53-57)
+        details["train_audio_s_per_s_b24"] = round(
+            bench_train_step(batch=24, precision="high", n=6)[0], 2)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants
-        for tag, kw in [("b4_fp32", dict(batch=4)),
-                        ("b16_bf16", dict(batch=16, dtype=jnp.bfloat16))]:
-            try:
-                details[f"synthesis_khz_{tag}"] = round(bench_synthesis(**kw), 1)
-            except Exception as e:
-                details[f"synthesis_{tag}_error"] = str(e)[:120]
+        try:
+            details["synthesis_khz_b16_bf16"] = round(
+                bench_synthesis(dtype=jnp.bfloat16), 1)
+        except Exception as e:
+            details["synthesis_bf16_error"] = str(e)[:120]
+        wf_args = dict(flows=8, n_group=64, n_mels=80, use_conv1x1=False,
+                       memory_efficient=False, dilation_channels=64,
+                       residual_channels=64, skip_channels=64)
+        try:
+            details["waveflow_train_audio_s_per_s_b8"] = round(
+                bench_train_step(cfg=_train_cfg("WaveFlow", wf_args),
+                                 precision="high", n=6)[0], 2)
+        except Exception as e:
+            details["waveflow_train_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "waveglow_synthesis",
         "value": round(khz, 1),

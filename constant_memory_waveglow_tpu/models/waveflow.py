@@ -209,8 +209,11 @@ class WaveFlow(FlowBase):
         k_up = self.sub_sr * 2 + 1
         up_w = torch_conv_uniform_init(keys[0], (self.n_mels, self.n_mels, k_up),
                                        fan_in=self.n_mels * k_up)
+        # torch ConvTranspose1d default bias init: U(-1/sqrt(fan_in), ..)
+        up_b = torch_conv_uniform_init(jax.random.fold_in(keys[0], 1),
+                                       (self.n_mels,), fan_in=self.n_mels * k_up)
         params = {
-            "upsampler": {"w": wn_init(up_w), "b": jnp.zeros((self.n_mels,))},
+            "upsampler": {"w": wn_init(up_w), "b": up_b},
             "WNs": [wn.init(k) for wn, k in zip(self.WNs, keys[1::2])],
         }
         if self.use_conv1x1:

@@ -20,6 +20,7 @@ from .base import FlowBase
 from .wn import WN
 from ..flows.invconv import InvertibleConv1x1
 from ..flows.coupling import AffineCouplingBlock
+from ..flows.scan_group import make_flow_group, stack_flow_params
 from ..ops.convs import conv_transpose1d, torch_conv_uniform_init
 from ..ops.weightnorm import wn_init, wn_weight
 
@@ -34,6 +35,7 @@ class WaveGlow(FlowBase):
                  n_mels,
                  memory_efficient,
                  reverse_mode=False,
+                 scan_flows=True,
                  **wn_kwargs):
         super().__init__(hop_size, reverse_mode)
         self.flows = flows
@@ -42,6 +44,12 @@ class WaveGlow(FlowBase):
         self.n_early_size = n_early_size
         self.n_mels = n_mels
         self.mem_efficient = memory_efficient
+        # scan over equal-width flow groups: one custom_vjp per group whose
+        # backward is a reversed lax.scan -> structurally one flow's WN
+        # internals live at a time (see flows/scan_group.py).  reverse_mode
+        # swaps block directions inside the model-level loops, a combination
+        # the scanned units don't model — those (rare) models stay unrolled.
+        self.scan_flows = scan_flows and memory_efficient and not reverse_mode
 
         self.upsample_factor = self._hop_length // n_group
         self.sub_win_size = self.upsample_factor * 2 + 1
@@ -51,10 +59,15 @@ class WaveGlow(FlowBase):
         self.WNs = []
         n_remaining = n_group
         self.z_split_sizes = []
+        self.flow_groups = []  # runs of equal-width flows (early splits between)
         for k in range(flows):
             if k % n_early_every == 0 and k:
                 n_remaining -= n_early_size
                 self.z_split_sizes.append(n_early_size)
+                self.flow_groups.append([])
+            if not self.flow_groups:
+                self.flow_groups.append([])
+            self.flow_groups[-1].append(k)
             self.invconv1x1.append(
                 InvertibleConv1x1(n_remaining, memory_efficient=memory_efficient,
                                   reverse_mode=reverse_mode))
@@ -63,6 +76,9 @@ class WaveGlow(FlowBase):
                     WN(in_channels=n_remaining // 2, aux_channels=n_mels, **wn_kwargs),
                     memory_efficient=memory_efficient, reverse_mode=reverse_mode))
         self.z_split_sizes.append(n_remaining)
+        # per-group scanned flow functions (forward, reverse, fwd_eff, rev_eff)
+        self._group_fns = [
+            make_flow_group(self.WNs[g[0]].F.apply) for g in self.flow_groups]
 
     # ------------------------------------------------------------------ params
     def init(self, key):
@@ -72,8 +88,12 @@ class WaveGlow(FlowBase):
         up_w = torch_conv_uniform_init(
             keys[0], (self.n_mels, 1, self.sub_win_size),
             fan_in=self.sub_win_size)  # torch ConvTranspose fan_in = (out/groups)*K
+        # bias follows the same U(-1/sqrt(fan_in), ..) bound (torch default)
+        up_b = torch_conv_uniform_init(
+            jax.random.fold_in(keys[0], 1), (self.n_mels,),
+            fan_in=self.sub_win_size)
         params = {
-            "upsampler": {"w": wn_init(up_w), "b": jnp.zeros((self.n_mels,))},
+            "upsampler": {"w": wn_init(up_w), "b": up_b},
             "invconv1x1": [c.init(k) for c, k in zip(self.invconv1x1, keys[1::2])],
             "WNs": [b.init(k) for b, k in zip(self.WNs, keys[2::2])],
         }
@@ -94,6 +114,10 @@ class WaveGlow(FlowBase):
         b = x.shape[0]
         return x.transpose(0, 2, 1).reshape(b, -1)
 
+    def _stacked_group_params(self, params, group):
+        return stack_flow_params([params["invconv1x1"][k] for k in group],
+                                 [params["WNs"][k] for k in group])
+
     # ------------------------------------------------------------------- flows
     def forward_computation(self, params, x, h):
         """x: [B, T] audio, h: [B, n_mels, frames] -> (z [B, T], logdet [B])."""
@@ -103,18 +127,25 @@ class WaveGlow(FlowBase):
         y = y[..., : x.shape[2]]
 
         output_audio = []
-        split_sections = [self.n_early_size, self.n_group]
-
         logdet = jnp.zeros((x.shape[0],), x.dtype)
-        for k in range(self.flows):
-            if k % self.n_early_every == 0 and k:
-                split_sections[1] -= self.n_early_size
-                early, x = x[:, : self.n_early_size], x[:, self.n_early_size :]
-                output_audio.append(early)
 
-            x, log_det_w = self.invconv1x1[k].forward(params["invconv1x1"][k], x)
-            x, log_s = self.WNs[k].forward(params["WNs"][k], x, y)
-            logdet = logdet + log_det_w + log_s.sum((1, 2))
+        if self.scan_flows:
+            for gi, group in enumerate(self.flow_groups):
+                if gi:
+                    early, x = x[:, : self.n_early_size], x[:, self.n_early_size :]
+                    output_audio.append(early)
+                fwd_eff = self._group_fns[gi][2]
+                x, ld = fwd_eff(self._stacked_group_params(params, group), x, y)
+                logdet = logdet + ld
+        else:
+            for k in range(self.flows):
+                if k % self.n_early_every == 0 and k:
+                    early, x = x[:, : self.n_early_size], x[:, self.n_early_size :]
+                    output_audio.append(early)
+
+                x, log_det_w = self.invconv1x1[k].forward(params["invconv1x1"][k], x)
+                x, log_s = self.WNs[k].forward(params["WNs"][k], x, y)
+                logdet = logdet + log_det_w + log_s.sum((1, 2))
 
         output_audio.append(x)
         return self._unsqueeze(jnp.concatenate(output_audio, 1)), logdet
@@ -129,12 +160,21 @@ class WaveGlow(FlowBase):
         *remained_z, z = jnp.split(z, splits, axis=1)
 
         logdet = jnp.zeros((z.shape[0],), z.dtype)
-        for k in range(self.flows - 1, -1, -1):
-            z, log_s = self.WNs[k].reverse(params["WNs"][k], z, y)
-            z, log_det_w = self.invconv1x1[k].reverse(params["invconv1x1"][k], z)
-            logdet = logdet + log_det_w + log_s.sum((1, 2))
+        if self.scan_flows:
+            for gi in range(len(self.flow_groups) - 1, -1, -1):
+                rev_eff = self._group_fns[gi][3]
+                z, ld = rev_eff(
+                    self._stacked_group_params(params, self.flow_groups[gi]), z, y)
+                logdet = logdet + ld
+                if gi:
+                    z = jnp.concatenate([remained_z.pop(), z], 1)
+        else:
+            for k in range(self.flows - 1, -1, -1):
+                z, log_s = self.WNs[k].reverse(params["WNs"][k], z, y)
+                z, log_det_w = self.invconv1x1[k].reverse(params["invconv1x1"][k], z)
+                logdet = logdet + log_det_w + log_s.sum((1, 2))
 
-            if k % self.n_early_every == 0 and k:
-                z = jnp.concatenate([remained_z.pop(), z], 1)
+                if k % self.n_early_every == 0 and k:
+                    z = jnp.concatenate([remained_z.pop(), z], 1)
 
         return self._unsqueeze(z), logdet

@@ -49,9 +49,20 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree (params / opt state) across the mesh."""
+    """Fully replicate a pytree (params / opt state) across the mesh.
+
+    Multi-process: every process holds the full value (same seed / same
+    restore on all ranks — the DDP weight-broadcast analog), and
+    ``make_array_from_process_local_data`` builds the global replicated
+    array; ``device_put`` would reject non-addressable devices.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sharding)
+    return jax.tree_util.tree_map(put, tree)
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
@@ -60,6 +71,23 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def make_global_batch(mesh: Mesh, local_batch):
+    """Assemble a globally-sharded batch from this process's local shard.
+
+    Multi-host DP: every process loads ``global_batch // process_count``
+    examples; ``jax.make_array_from_process_local_data`` stitches them into
+    one global array sharded on the ``data`` axis, so the global batch stays
+    invariant in world size (reference semantics ``train.py:51-53``).  On a
+    single process this is equivalent to a sharded ``device_put``.
+    """
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree_util.tree_map(put, local_batch)
 
 
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):

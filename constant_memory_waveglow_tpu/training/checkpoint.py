@@ -21,14 +21,45 @@ def _dir(path):
     return os.path.abspath(os.path.expanduser(path))
 
 
-def save_checkpoint(ckpt_dir, step, state: dict, config: dict = None):
+# Singleton async checkpointer: the device->host snapshot happens inline, the
+# disk write proceeds in a background thread so the step loop is never blocked
+# on I/O (SURVEY.md §5 preemption-recovery; the reference blocks inside
+# Lightning's epoch-end save).
+_ASYNC = None
+
+
+def _async_checkpointer():
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_saves():
+    """Block until every pending async save has committed to disk."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
+def save_checkpoint(ckpt_dir, step, state: dict, config: dict = None,
+                    async_save=False):
     """state: pytree dict (params / opt_state / step...).  Writes
-    ``<ckpt_dir>/<step>/state`` plus a ``config.json`` sidecar."""
+    ``<ckpt_dir>/<step>/state`` plus a ``config.json`` sidecar.
+
+    ``async_save=True`` snapshots to host inline and writes in the
+    background; call :func:`wait_for_saves` before reading the checkpoint
+    back or exiting.  Orbax serializes overlapping saves internally.
+    """
     ckpt_dir = _dir(ckpt_dir)
     path = os.path.join(ckpt_dir, str(step))
     os.makedirs(path, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state, force=True)
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state),
+                   force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, "state"), state, force=True)
     if config is not None:
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(config, f, indent=2)
@@ -38,7 +69,9 @@ def latest_step(ckpt_dir):
     ckpt_dir = _dir(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    steps = [int(d) for d in os.listdir(ckpt_dir)
+             if d.isdigit()  # only committed saves (async writes tmp dirs
+             and os.path.isdir(os.path.join(ckpt_dir, d, "state"))]  # first)
     return max(steps) if steps else None
 
 

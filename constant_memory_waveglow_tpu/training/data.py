@@ -107,12 +107,26 @@ class DataLoader:
     prefetch_factor, pin_memory)`` config surface (``model/lightning.py:46-50``);
     ``shuffle``/``pin_memory`` are accepted for config compatibility
     (sampling is random either way; pinning is meaningless on TPU hosts).
+
+    ``batch_size`` is always the *global* batch; with ``process_count > 1``
+    each process loads its ``batch_size / process_count`` slice (the
+    multi-host analog of the reference's ``batch_size //= gpus``,
+    ``train.py:51-53``), to be assembled with
+    ``parallel.mesh.make_global_batch``.  In deterministic mode the slices
+    partition the exact example indices a single process would load, so the
+    assembled global batch is world-size-invariant.
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 prefetch_factor=4, pin_memory=False, seed=None, drop_last=True):
+                 prefetch_factor=4, pin_memory=False, seed=None, drop_last=True,
+                 process_count=1, process_id=0):
+        assert batch_size % process_count == 0, (
+            f"global batch {batch_size} not divisible by {process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_batch = batch_size // process_count
+        self.process_count = process_count
+        self.process_id = process_id
         self.num_workers = max(1, num_workers)
         self.prefetch = max(2, prefetch_factor)
         self.seed = seed
@@ -133,19 +147,22 @@ class DataLoader:
         stop = threading.Event()
 
         def worker(wid):
-            rng = np.random.default_rng((int(base_seed) & 0xFFFFFFFF, epoch_idx, wid))
+            rng = np.random.default_rng(
+                (int(base_seed) & 0xFFFFFFFF, epoch_idx, wid, self.process_id))
             while not stop.is_set():
                 try:
                     bi = idx_q.get_nowait()
                 except queue.Empty:
                     return
+                # this process's slice of global batch bi: example indices
+                # [bi*B + pid*local_b, bi*B + (pid+1)*local_b)
+                base = bi * self.batch_size + self.process_id * self.local_batch
                 if hasattr(self.dataset, "sample_batch"):
-                    batch = self.dataset.sample_batch(
-                        rng, self.batch_size, bi * self.batch_size)
+                    batch = self.dataset.sample_batch(rng, self.local_batch, base)
                 else:
                     batch = np.stack([
-                        self.dataset.sample(rng, bi * self.batch_size + j)
-                        for j in range(self.batch_size)
+                        self.dataset.sample(rng, base + j)
+                        for j in range(self.local_batch)
                     ])
                 out_q.put((bi, batch))
 
@@ -154,9 +171,16 @@ class DataLoader:
         for t in threads:
             t.start()
         try:
-            for _ in range(n_batches):
-                _, batch = out_q.get()
-                yield batch
+            # yield strictly in batch-index order: with several workers,
+            # completion order is nondeterministic, and in multi-host DP every
+            # process must emit slice bi at the same step for
+            # make_global_batch to stitch matching slices together
+            pending = {}
+            for want in range(n_batches):
+                while want not in pending:
+                    bi, batch = out_q.get()
+                    pending[bi] = batch
+                yield pending.pop(want)
         finally:
             stop.set()
 

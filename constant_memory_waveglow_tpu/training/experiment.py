@@ -19,7 +19,7 @@ from ..ops.stft import MelSpec
 from ..ops.lowpass import LowPass, STFTDecimate
 from ..utils.config import Registry, get_instance
 from .loss import LOSS_REGISTRY
-from .optim import build_optimizer
+from .optim import build_lr_schedule, build_optimizer
 
 CONDITIONER_REGISTRY = Registry("conditioner")
 CONDITIONER_REGISTRY.register("MelSpec")(MelSpec)
@@ -40,7 +40,13 @@ class Experiment:
         self.model = build_model(config["arch"])
         self.conditioner = build_conditioner(config["conditioner"])
         self.criterion = get_instance(LOSS_REGISTRY, config["loss"])
-        self.optimizer = build_optimizer(config["optimizer"])
+        # optional torch-named lr_scheduler block (legacy schema carries one,
+        # configs/musicnet_config.json) — lr becomes a per-step schedule
+        self.optimizer = build_optimizer(config["optimizer"],
+                                         config.get("lr_scheduler"))
+        self.lr_schedule = build_lr_schedule(
+            config["optimizer"].get("args", {}).get("lr", 1e-3),
+            config.get("lr_scheduler"))
 
     # ------------------------------------------------------------------ state
     def init_state(self, key):

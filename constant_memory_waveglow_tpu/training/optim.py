@@ -1,19 +1,81 @@
-"""Optimizer registry: config ``{"type": "Adam", "args": {...}}`` -> optax.
+"""Optimizer + LR-scheduler registries: torch-named configs -> optax.
 
 The reference instantiates any ``torch.optim.*`` class by reflection
-(``model/lightning.py:41-44``).  Here a small registry maps the torch names
-(with their torch argument conventions: ``lr``, ``betas``, ``eps``,
-``weight_decay`` as *coupled* L2) onto optax gradient transforms.
+(``model/lightning.py:41-44``) and carries (legacy-schema) ``lr_scheduler``
+blocks with ``torch.optim.lr_scheduler`` names
+(``configs/musicnet_config.json``).  Here small registries map the torch
+names (with their torch argument conventions: ``lr``, ``betas``, ``eps``,
+``weight_decay`` as *coupled* L2; scheduler factors multiply the base lr,
+stepped per optimization step) onto optax transforms / schedules.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import optax
 
 from ..utils.config import Registry
 
 OPTIMIZER_REGISTRY = Registry("optimizer")
+SCHEDULER_REGISTRY = Registry("lr_scheduler")
 
+
+# ------------------------------------------------------------- lr schedulers
+# Each returns factor(step) -> multiplier on the base lr, matching the torch
+# scheduler of the same name with one scheduler.step() per optimization step.
+
+@SCHEDULER_REGISTRY.register("StepLR")
+def step_lr(step_size, gamma=0.1, **_):
+    return lambda step: gamma ** (step // step_size)
+
+
+@SCHEDULER_REGISTRY.register("MultiStepLR")
+def multi_step_lr(milestones, gamma=0.1, **_):
+    ms = np.asarray(sorted(milestones))
+
+    def factor(step):
+        import jax.numpy as jnp
+
+        return gamma ** jnp.sum(step >= jnp.asarray(ms))
+
+    return factor
+
+
+@SCHEDULER_REGISTRY.register("ExponentialLR")
+def exponential_lr(gamma, **_):
+    return lambda step: gamma ** step
+
+
+@SCHEDULER_REGISTRY.register("CosineAnnealingLR")
+def cosine_annealing_lr(T_max, eta_min=0.0, **_):
+    # factor relative to base lr; eta_min is absolute in torch, so callers
+    # with eta_min should treat it as a fraction only if base lr == 1.  We
+    # return the torch formula normalized by base lr at build time instead —
+    # see build_optimizer, which closes over the base lr.
+    def factor(step, base_lr=None):
+        import jax.numpy as jnp
+
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * jnp.minimum(step, T_max) / T_max))
+        if base_lr:
+            return (eta_min + (base_lr - eta_min) * cos) / base_lr
+        return cos
+
+    return factor
+
+
+def build_lr_schedule(base_lr, scheduler_config=None):
+    """Returns ``lr(step)`` (absolute learning rate)."""
+    if not scheduler_config:
+        return lambda step: base_lr
+    from ..utils.config import get_instance
+
+    factor = get_instance(SCHEDULER_REGISTRY, scheduler_config)
+    if scheduler_config.get("type") == "CosineAnnealingLR":
+        return lambda step: base_lr * factor(step, base_lr=base_lr)
+    return lambda step: base_lr * factor(step)
+
+
+# ----------------------------------------------------------------- optimizers
 
 @OPTIMIZER_REGISTRY.register("Adam")
 def adam(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, **_):
@@ -23,7 +85,8 @@ def adam(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, **_):
         # torch.optim.Adam applies *coupled* L2: grad += wd * param, before
         # the Adam moment updates.
         chain.append(optax.add_decayed_weights(weight_decay))
-    chain += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps), optax.scale(-lr)]
+    chain += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+              optax.scale_by_learning_rate(lr)]
     return optax.chain(*chain)
 
 
@@ -42,7 +105,15 @@ def sgd(lr, momentum=0.0, weight_decay=0.0, nesterov=False, **_):
     return optax.chain(*chain)
 
 
-def build_optimizer(config):
+def build_optimizer(config, scheduler_config=None):
+    """Build the optax optimizer; with a scheduler config the ``lr`` argument
+    becomes a per-step schedule (optax accepts callables wherever a fixed
+    learning rate is accepted)."""
     from ..utils.config import get_instance
 
+    if scheduler_config:
+        config = dict(config)
+        args = dict(config.get("args", {}))
+        args["lr"] = build_lr_schedule(args.get("lr", 1e-3), scheduler_config)
+        config["args"] = args
     return get_instance(OPTIMIZER_REGISTRY, config)

@@ -1,0 +1,68 @@
+"""Worker for the multi-process data-parallel test (not a pytest module).
+
+Each process owns 2 virtual CPU devices; ``jax.distributed.initialize``
+assembles the global mesh.  The process loads only its slice of the global
+batch (``DataLoader(process_count=N, process_id=i)``), stitches it with
+``make_global_batch``, and runs jitted train steps — the real multi-host DP
+path (the TPU analog of the reference's DDP, ``train.py:51-53,77``).
+
+Writes ``{losses: [...]}`` to the given output JSON.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    wav_dir = sys.argv[4]
+    out_path = sys.argv[5]
+
+    # sitecustomize may have imported jax already (TPU plugin registration),
+    # so env vars are too late — use config updates, like tests/conftest.py
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc
+
+    import numpy as np
+
+    from constant_memory_waveglow_tpu.parallel.mesh import (
+        make_mesh, make_global_batch, replicate)
+    from constant_memory_waveglow_tpu.training import (
+        Experiment, DataLoader, build_dataset)
+    from tests.test_training import TINY_CONFIG
+
+    exp = Experiment(TINY_CONFIG)
+    state = exp.init_state(jax.random.PRNGKey(0))  # same seed on every rank
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    state = replicate(mesh, state)
+
+    dataset = build_dataset({"type": "RandomWAVDataset", "args": {
+        "data_dir": wav_dir, "size": 8, "segment": 4096, "deterministic": True}})
+    loader = DataLoader(dataset, batch_size=4, num_workers=2, seed=0,
+                        process_count=nproc, process_id=pid)
+
+    step_fn = exp.make_train_step(donate=False)
+    losses = []
+    for local in loader.epoch(0):
+        assert local.shape == (4 // nproc, 4096)
+        batch = make_global_batch(mesh, local)
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    with open(out_path, "w") as f:
+        json.dump({"losses": losses, "step": int(state["step"])}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,9 +33,11 @@ def main():
     parser.add_argument("--max-epochs", type=int, default=100)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--logdir", type=str, default=None)
-    parser.add_argument("--precision", type=str, default="highest",
+    parser.add_argument("--precision", type=str, default="high",
                         choices=["default", "high", "highest"],
-                        help="matmul precision (the --no-tf32 analog)")
+                        help="matmul precision; 'high' (bf16_3x, ~TF32 "
+                             "fidelity) mirrors the reference's TF32-on "
+                             "default, 'highest' is the --no-tf32 analog")
     parser.add_argument("--platform", type=str, default=None,
                         help="force jax platform (e.g. cpu)")
     parser.add_argument("--keep-ckpts", type=int, default=3)
@@ -65,7 +67,7 @@ def main():
 
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.parallel.mesh import (
-        make_mesh, batch_sharding, replicate, data_axis_size)
+        make_mesh, make_global_batch, replicate, data_axis_size)
     from constant_memory_waveglow_tpu.training import (
         Experiment, DataLoader, MetricsLogger, build_dataset, checkpoint)
     from constant_memory_waveglow_tpu.utils.config import load_config
@@ -86,7 +88,9 @@ def main():
     name = config.get("name", "experiment").replace(" ", "_")
     logdir = args.logdir or os.path.join("runs", name)
     ckpt_dir = os.path.join(logdir, "ckpt")
-    logger = MetricsLogger(logdir)
+    # rank-0-only side effects, like the reference (train.py:26-27)
+    is_main = jax.process_index() == 0
+    logger = MetricsLogger(logdir) if is_main else None
 
     # preemption recovery: auto-resume from the logdir's latest checkpoint
     if (args.ckpt_path is None and not args.no_auto_resume
@@ -102,22 +106,31 @@ def main():
         state = checkpoint.restore_checkpoint(args.ckpt_path, state)
         print(f"resumed from {args.ckpt_path} at step {int(state['step'])}")
 
-    n_data = data_axis_size(config["data_loader"]["batch_size"])
+    global_batch = config["data_loader"]["batch_size"]
+    n_proc = jax.process_count()
+    assert global_batch % n_proc == 0, (
+        f"global batch {global_batch} not divisible by {n_proc} processes")
+    n_data = data_axis_size(global_batch)
     if n_data < jax.device_count():
+        assert n_proc == 1, "multi-host requires batch divisible by devices"
         print(f"note: using {n_data}/{jax.device_count()} devices on the data "
-              f"axis (global batch {config['data_loader']['batch_size']})")
+              f"axis (global batch {global_batch})")
     mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
-    bsh = batch_sharding(mesh)
     state = replicate(mesh, state)
     step_fn = exp.make_train_step(
         compute_dtype="bfloat16" if args.bf16_compute else None)
 
     dataset = build_dataset(config["dataset"])
-    loader = DataLoader(dataset, seed=args.seed, **config["data_loader"])
+    # every process loads global_batch/n_proc examples; make_global_batch
+    # stitches the shards (reference global-batch invariant, train.py:51-53)
+    loader = DataLoader(dataset, seed=args.seed,
+                        process_count=n_proc, process_id=jax.process_index(),
+                        **config["data_loader"])
     from constant_memory_waveglow_tpu.utils.profiling import model_summary
-    print(model_summary(state["params"]))
-    print(f"{len(dataset.files)} wav files; {loader.steps_per_epoch} steps/epoch; "
-          f"{jax.device_count()} devices")
+    if is_main:
+        print(model_summary(state["params"]))
+        print(f"{len(dataset.files)} wav files; {loader.steps_per_epoch} "
+              f"steps/epoch; {jax.device_count()} devices, {n_proc} processes")
 
     test_y = None
     if args.test_file:
@@ -131,7 +144,7 @@ def main():
             if args.profile_steps and step == 2 and not profiling:
                 jax.profiler.start_trace(os.path.join(logdir, "profile"))
                 profiling = True
-            batch = jax.device_put(batch, bsh)
+            batch = make_global_batch(mesh, batch)
             state, metrics = step_fn(state, batch)
             step += 1
             if profiling and step >= 2 + args.profile_steps:
@@ -140,9 +153,12 @@ def main():
                 profiling = False
                 print(f"profile trace written to {logdir}/profile")
             metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["lr"] = config["optimizer"]["args"].get("lr", 0.0)
-            logger.log_scalars(step, metrics)
-            if step % 50 == 0 or step == 1:
+            # lr actually applied this step (schedule evaluated at the optax
+            # update count, which was step-1 before the increment)
+            metrics["lr"] = float(exp.lr_schedule(step - 1))
+            if is_main:
+                logger.log_scalars(step, metrics)
+            if is_main and (step % 50 == 0 or step == 1):
                 dt = time.time() - t0
                 print(f"epoch {epoch} step {step} loss {metrics['loss']:.4f} "
                       f"logdet {metrics['logdet']:.4f} z_std {metrics['z_std']:.4f} "
@@ -150,10 +166,14 @@ def main():
             if args.max_steps and step >= args.max_steps:
                 break
 
-        checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state), config)
-        checkpoint.prune_checkpoints(ckpt_dir, keep=args.keep_ckpts)
+        if is_main:
+            # async: device->host snapshot inline, disk write in background —
+            # the step loop of the next epoch is not blocked on I/O
+            checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state),
+                                       config, async_save=True)
+            checkpoint.prune_checkpoints(ckpt_dir, keep=args.keep_ckpts)
 
-        if test_y is not None:  # TestFileCallBack equivalent (train.py:17-34)
+        if test_y is not None and is_main:  # TestFileCallBack equivalent (train.py:17-34)
             cond = exp.conditioner(np.asarray(test_y)[None])
             pred = exp.infer(state, cond, jax.random.PRNGKey(epoch), sigma=0.7)
             logger.log_audio(step, "reconstruct_audio", np.asarray(pred), test_sr)
@@ -161,8 +181,10 @@ def main():
         if args.max_steps and step >= args.max_steps:
             break
 
-    checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state), config)
-    print(f"done at step {step}; checkpoints in {ckpt_dir}")
+    if is_main:
+        checkpoint.wait_for_saves()  # don't race the last epoch's async save
+        checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state), config)
+        print(f"done at step {step}; checkpoints in {ckpt_dir}")
 
 
 if __name__ == "__main__":
