@@ -78,3 +78,96 @@ def test_train_and_infer_cli(workspace):
     assert os.path.exists(out_wav)
     assert "Forward LL:" in r.stdout
     assert r.stdout.count("kHz") == 2
+
+
+# ------------------------------------------------------ all model families
+ARCHES = {
+    "WaveFlow": {"type": "WaveFlow", "args": {
+        "flows": 2, "n_group": 8, "n_mels": 80, "use_conv1x1": False,
+        "memory_efficient": False, "dilation_channels": 16,
+        "residual_channels": 16, "skip_channels": 16, "bias": False}},
+    "MelGlow": {"type": "MelGlow", "args": {
+        "flows": 2, "n_group": 8, "n_early_every": 4, "n_early_size": 2,
+        "hop_size": 256, "n_mels": 80, "memory_efficient": False,
+        "dilation_channels": 16, "residual_channels": 16, "skip_channels": 16,
+        "depth": 2, "radix": 3, "predict_channels": 8, "predict_layers": 1,
+        "bias": False}},
+    "MRWaveGlow": {"type": "MRWaveGlow", "args": {
+        "prior_flows": 2, "n_group": 8, "hop_size": 256, "n_mels": 80,
+        "levels": 2, "flows": 2, "memory_efficient": False,
+        "dilation_channels": 16, "residual_channels": 16, "skip_channels": 16,
+        "depth": 2, "radix": 3, "bias": False}},
+    "WSRGlow": {"type": "WSRGlow", "args": {
+        "upsample_rate": 2, "memory_efficient": True,
+        "dilation_channels": 8, "residual_channels": 8, "skip_channels": 8,
+        "depth": 1, "radix": 3, "bias": False}},
+}
+
+
+@pytest.mark.parametrize("arch", sorted(ARCHES))
+def test_family_train_and_infer_cli(workspace, tmp_path, arch):
+    """config -> train -> checkpoint -> inference for every remaining model
+    family (the reference exercises all of them through the same two CLIs)."""
+    d, _, wavs = workspace
+    config = {
+        "name": f"cli_{arch.lower()}",
+        "arch": ARCHES[arch],
+        "dataset": {"type": "RandomWAVDataset", "args": {
+            "data_dir": str(wavs), "size": 4, "segment": 4096}},
+        "data_loader": {"batch_size": 2, "num_workers": 2},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 1.0,
+                                                  "elementwise_mean": True}},
+        "conditioner": (
+            {"type": "STFTDecimate", "args": {"r": 2}} if arch == "WSRGlow"
+            else {"type": "MelSpec", "args": {
+                "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000,
+                "n_mels": 80}}),
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    logdir = str(tmp_path / "run")
+
+    r = run(["train.py", "--config", str(cfg_path), "--platform", "cpu",
+             "--max-epochs", "1", "--logdir", logdir])
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+    ckpt = os.path.join(logdir, "ckpt")
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+    out_wav = str(tmp_path / "out.wav")
+    r = run(["inference.py", ckpt, str(wavs / "0.wav"), out_wav,
+             "-s", "0.7", "--platform", "cpu"])
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+    assert os.path.exists(out_wav)
+    assert r.stdout.count("kHz") == 2
+
+
+def test_wsrglow_eval_cli(workspace, tmp_path):
+    """vctk_wsrglow_infer.py end-to-end on a tiny checkpoint + 2 wavs:
+    downsample -> super-resolve -> finite mean LSD printed
+    (reference ``vctk_wsrglow_infer.py:84-89``)."""
+    import jax
+
+    from constant_memory_waveglow_tpu.training import Experiment, checkpoint
+
+    d, _, wavs = workspace
+    config = {
+        "name": "wsr_eval",
+        "arch": ARCHES["WSRGlow"],
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 1.0,
+                                                  "elementwise_mean": True}},
+        "conditioner": {"type": "STFTDecimate", "args": {"r": 2}},
+    }
+    exp = Experiment(config)
+    state = jax.device_get(exp.init_state(jax.random.PRNGKey(0)))
+    ckpt = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(ckpt, 0, state, config)
+
+    r = run(["vctk_wsrglow_infer.py", str(wavs), "--ckpt", ckpt, "-q", "2",
+             "--platform", "cpu"], timeout=600)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln]
+    assert "lsd=" in r.stdout
+    mean_lsd = float(lines[-1])
+    assert np.isfinite(mean_lsd) and mean_lsd > 0

@@ -47,8 +47,26 @@ if "torchaudio" not in sys.modules:
         def __init__(self, *a, **k):
             raise RuntimeError("torchaudio stub")
 
+    import torch as _torch
+
+    class _MuLawEncoding(_torch.nn.Module):
+        """Functional stand-in for torchaudio.transforms.MuLawEncoding —
+        the exact mu-law companding formula (already differentially
+        validated in test_conditioners.py::test_mu_law_matches_torch_formula),
+        so the reference WSRGlow (``model/wsrglow.py:27-30``) can run."""
+
+        def __init__(self, quantization_channels=256):
+            super().__init__()
+            self.qc = quantization_channels
+
+        def forward(self, x):
+            mu = self.qc - 1.0
+            x_mu = (_torch.sign(x) * _torch.log1p(mu * _torch.abs(x))
+                    / _torch.log1p(_torch.tensor(mu)))
+            return ((x_mu + 1) / 2 * mu + 0.5).to(_torch.int64)
+
     _tr.MelSpectrogram = _Stub
-    _tr.MuLawEncoding = _Stub
+    _tr.MuLawEncoding = _MuLawEncoding
     _ta.transforms = _tr
     sys.modules["torchaudio"] = _ta
     sys.modules["torchaudio.transforms"] = _tr
@@ -356,3 +374,101 @@ def test_mr_waveglow_forward_parity():
     z, ld = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
     assert max_err(z, z_ref) < 5e-5
     assert max_err(ld, ld_ref) < 5e-2
+
+
+@pytest.mark.parametrize("mem_efficient", [False, True])
+def test_wsrglow_cond_and_flow_parity(mem_efficient):
+    """The most intricate conditioner in the tree: mu-law embedding || STFT
+    magnitude || phase-bin embedding (``model/wsrglow.py:27-50``), plus the
+    inherited WaveGlow flow stack, against the torch reference with copied
+    weights (MuLawEncoding supplied by the functional stub above)."""
+    from model.wsrglow import WSRGlow as RefWSRGlow
+
+    from constant_memory_waveglow_tpu.models import WSRGlow
+
+    kw = dict(dilation_channels=16, residual_channels=16, skip_channels=16,
+              depth=2, radix=3, bias=False, zero_init=False)
+    torch.manual_seed(11)
+    ref = RefWSRGlow(upsample_rate=2, memory_efficient=False, **kw).eval()
+    ours = WSRGlow(upsample_rate=2, memory_efficient=mem_efficient, **kw)
+
+    params = waveglow_params(ref)
+    params["mu_embed"] = t2j(ref.mu_enc[1].weight)
+    params["angle_embed"] = t2j(ref.angle_embed.embed.weight)
+
+    rng = np.random.default_rng(12)
+    t_low = 512
+    x = rng.standard_normal((2, 2 * t_low)).astype(np.float32) * 0.3
+    c = (rng.standard_normal((2, t_low)).astype(np.float32) * 0.4).clip(-1, 1)
+
+    # conditioner parity first (isolates the embeddings/STFT from the flows)
+    with torch.no_grad():
+        cond_ref = ref._get_cond(torch.from_numpy(c.copy()))  # clip_ mutates
+    cond = ours._get_cond(params, jnp.asarray(c))
+    assert cond.shape == tuple(cond_ref.shape)
+    assert max_err(cond, cond_ref) < 2e-4
+
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(c.copy()))
+    z, ld = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(c))
+    assert max_err(z, z_ref) < 1e-4
+    assert max_err(ld, ld_ref) < 5e-2
+
+    if not mem_efficient:  # reverse once is enough; paths share _get_cond
+        with torch.no_grad():
+            xr_ref, _ = ref.reverse_computation(z_ref, torch.from_numpy(c.copy()))
+        xr, _ = ours.reverse_computation(params, z, jnp.asarray(c))
+        assert max_err(xr, xr_ref) < 1e-4
+
+
+@pytest.mark.parametrize("n_group,use_conv1x1", [(32, True), (64, False)])
+def test_waveflow_canonical_ngroup_parity(n_group, use_conv1x1):
+    """WaveFlow at the canonical heights: n_group 64 is the shipped config
+    (``configs/waveflow_LJ_speech.json``) whose height-dilation schedule
+    ``[1,2,4,8,16,1,2,4]`` (``model/waveflow.py:81-87``) exercises the hd>1
+    ring-buffer tap gather in the AR inverse; n_group 32 + conv1x1 covers the
+    permute-by-1x1 variant at hd>1."""
+    from model.waveflow import WaveFlow as RefWaveFlow
+
+    from constant_memory_waveglow_tpu.models import WaveFlow
+
+    kw = dict(flows=2, n_group=n_group, n_mels=20, use_conv1x1=use_conv1x1,
+              memory_efficient=False, dilation_channels=16,
+              residual_channels=16, skip_channels=16, bias=False)
+    torch.manual_seed(21)
+    ref = RefWaveFlow(zero_init=False, **kw).eval()
+    ours = WaveFlow(zero_init=False, **kw)
+
+    params = {
+        "upsampler": conv_param(ref.upsampler[1]),
+        "WNs": [],
+    }
+    for wn in ref.WNs:
+        params["WNs"].append({
+            "V": conv_param(wn.V),
+            "start": conv_param(wn.start),
+            "layers": [{"W": conv_param(l.W), "W_o": conv_param(l.W_o)}
+                       for l in wn.layers],
+            "end": {"w": t2j(wn.end.weight)},
+        })
+    if use_conv1x1:
+        params["invconv1x1"] = [{"W": t2j(c.weight)[..., 0]}
+                                for c in ref.invconv1x1]
+
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((2, 20, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(h))
+    z, ld = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 5e-5
+    assert max_err(ld, ld_ref) < 5e-2
+
+    # AR inverse (scan + hd-strided ring buffers) vs reference buffered loop
+    with torch.no_grad():
+        xr_ref, _ = ref.reverse_computation(z_ref, torch.from_numpy(h))
+    xr, _ = ours.reverse_computation(params, z, jnp.asarray(h))
+    assert max_err(xr, xr_ref) < 2e-4
