@@ -472,3 +472,72 @@ def test_waveflow_canonical_ngroup_parity(n_group, use_conv1x1):
         xr_ref, _ = ref.reverse_computation(z_ref, torch.from_numpy(h))
     xr, _ = ours.reverse_computation(params, z, jnp.asarray(h))
     assert max_err(xr, xr_ref) < 2e-4
+
+
+def test_torch_checkpoint_import_roundtrip(tmp_path):
+    """A (synthetic) Lightning .ckpt of the reference WaveGlow imports into a
+    servable framework checkpoint: converted params reproduce the reference
+    forward, and the exported checkpoint drives the inference CLI."""
+    import subprocess
+
+    from model.waveglow import WaveGlow as RefWaveGlow
+
+    from constant_memory_waveglow_tpu.models import WaveGlow
+    from constant_memory_waveglow_tpu.utils.torch_import import (
+        torch_state_dict_to_params)
+
+    kw = dict(flows=2, n_group=8, n_early_every=4, n_early_size=2,
+              hop_size=256, n_mels=80, dilation_channels=16,
+              residual_channels=16, skip_channels=16, depth=2, radix=3,
+              bias=False)
+    torch.manual_seed(31)
+    ref = RefWaveGlow(memory_efficient=False, zero_init=False, **kw).eval()
+
+    config = {
+        "name": "imported",
+        "arch": {"type": "WaveGlow", "args": dict(kw, memory_efficient=False)},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss",
+                 "args": {"sigma": 0.7, "elementwise_mean": True}},
+        "conditioner": {"type": "MelSpec", "args": {
+            "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000,
+            "n_mels": 80}},
+    }
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    ckpt_file = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": sd, "hyper_parameters": {"config": config}},
+               ckpt_file)
+
+    params = torch_state_dict_to_params(sd, "WaveGlow")
+    ours = WaveGlow(memory_efficient=False, zero_init=False, **kw)
+    rng = np.random.default_rng(32)
+    x = rng.standard_normal((1, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((1, 80, 18)).astype(np.float32)
+    with torch.no_grad():
+        z_ref, ld_ref = ref.forward_computation(torch.from_numpy(x),
+                                                torch.from_numpy(h))
+    params_j = jax.tree_util.tree_map(jnp.asarray, params)
+    z, ld = ours.forward_computation(params_j, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 2e-5
+
+    # CLI: convert then run inference on the exported checkpoint
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "converted")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "import_torch_ckpt.py"),
+         ckpt_file, out_dir], capture_output=True, text=True, cwd=repo,
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from constant_memory_waveglow_tpu.utils.audio import save_wav
+
+    wav = str(tmp_path / "in.wav")
+    save_wav(wav, (rng.uniform(-0.4, 0.4, 8192)).astype(np.float32), 22050)
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "inference.py"), out_dir, wav,
+         str(tmp_path / "out.wav"), "--platform", "cpu"],
+        capture_output=True, text=True, cwd=repo, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "out.wav"))
