@@ -167,6 +167,9 @@ def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
 def main():
     import os
 
+    from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     baseline_khz = 470.0
     details = {"device": _device_kind(),
                "vs_baseline_note": "cross-hardware: ref number is a GTX 1080 Ti"}

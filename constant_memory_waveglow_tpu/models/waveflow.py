@@ -143,13 +143,18 @@ class WN2D:
             for hd in self.h_dilations
         )
 
-    def ar_step(self, params, x_row, cond, buffers):
-        """One autoregressive row step with conv caches.
+    def ar_step(self, params, x_row, cond, buffers, s):
+        """One autoregressive row step with *ring* conv caches.
 
         x_row: [B, 1, 1, W] (the last generated row); cond: per-layer chunks;
-        buffers: rolling windows.  Returns (log_s, t, new_buffers), each map
-        output [B, 1, 1, W].  Equivalent to the reference's
-        ``reverse_mode_forward`` chain (``model/waveflow.py:53-67,137-151``).
+        buffers: per-layer rings [B, C, 2*hd+1, W]; s: scalar step index.
+        Returns (log_s, t, new_buffers), each map output [B, 1, 1, W].
+        Equivalent to the reference's ``reverse_mode_forward`` chain
+        (``model/waveflow.py:53-67,137-151``), but instead of shifting the
+        whole window each step (O(window) HBM traffic), the step writes one
+        row at ``s mod rows`` and gathers the two old taps at
+        ``(s-hd) mod rows`` / ``(s-2hd) mod rows`` — unwritten rows are the
+        zero-init, matching the shifted-window semantics exactly.
 
         The 3x3 conv over the window degenerates to one output row, which XLA
         lowers poorly as a conv; instead the 9 taps are gathered explicitly
@@ -162,13 +167,22 @@ class WN2D:
         new_buffers = []
         cum_skip = 0.0
         for i, lp in enumerate(params["layers"]):
-            buf = jnp.concatenate([buffers[i][:, :, 1:], x], axis=2)
-            new_buffers.append(buf)
-            w = wn_weight(lp["W"]["w"])  # [2D, C, 3, 3]
             hd, d = self.h_dilations[i], self.dilations[i]
-            rows = buf[:, :, ::hd] if hd > 1 else buf  # tap rows [B, C, 3, W]
+            n_rows = 2 * hd + 1
+            pos = jax.lax.rem(s, n_rows)
+            buf = jax.lax.dynamic_update_slice(
+                buffers[i], x, (0, 0, pos, 0))
+            new_buffers.append(buf)
+            # taps [B, C, 3, W]: rows s-2hd, s-hd, s (oldest first, matching
+            # the weight's height-tap order)
+            t0 = jax.lax.dynamic_slice_in_dim(
+                buf, jax.lax.rem(pos + 1, n_rows), 1, axis=2)
+            t1 = jax.lax.dynamic_slice_in_dim(
+                buf, jax.lax.rem(pos + hd + 1, n_rows), 1, axis=2)
+            rows = jnp.concatenate([t0, t1, x], axis=2)
+            w = wn_weight(lp["W"]["w"])  # [2D, C, 3, 3]
             rp = jnp.pad(rows, [(0, 0), (0, 0), (0, 0), (d, d)])
-            wdim = buf.shape[-1]
+            wdim = x.shape[-1]
             taps = jnp.stack([rp[..., k * d : k * d + wdim] for k in range(3)],
                              axis=3)  # [B, C, 3, 3, W]
             xy = jnp.einsum("ocij,bcijw->bow", w, taps,
@@ -287,16 +301,19 @@ class WaveFlow(FlowBase):
 
             x0 = z[:, :, :1]  # first row passes through
 
-            def step(carry, z_row):
+            def step(carry, inp):
+                z_row, s = inp
                 x_prev, buffers, ld = carry
-                log_s, t, buffers = wn.ar_step(wn_params, x_prev, cond, buffers)
+                log_s, t, buffers = wn.ar_step(wn_params, x_prev, cond,
+                                               buffers, s)
                 x_new = (z_row - t) * jnp.exp(-log_s)
                 ld = ld - log_s.sum((1, 2, 3))
                 return (x_new, buffers, ld), x_new
 
             z_rows = jnp.moveaxis(z[:, :, 1:], 2, 0)[:, :, :, None, :]  # [G-1, B, 1, 1, W]
             (x_last, _, ld), xs = jax.lax.scan(
-                step, (x0, buffers, jnp.zeros((b,), z.dtype)), z_rows)
+                step, (x0, buffers, jnp.zeros((b,), z.dtype)),
+                (z_rows, jnp.arange(g - 1)))
             logdet = logdet + ld
             rows = jnp.moveaxis(xs[:, :, :, 0], 0, 2)  # [B, 1, G-1, W]
             z = jnp.concatenate([x0, rows], 2)

@@ -29,13 +29,21 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..convs import conv1d, conv1x1
+from ..convs import conv1d, conv1x1, get_default_precision
 
+# Off by default: measured END-TO-END on a v5e chip (chained-steps timing,
+# round 2), flagship WaveGlow synthesis runs 3439 kHz on the plain XLA path
+# vs 2185 kHz with this kernel — XLA's conv emitters + fusion beat the
+# hand-written layer at these shapes (the round-1 "1.48x/layer" came from
+# single-dispatch timing that under-counted the kernel's pipeline stalls:
+# the halo DMA is synchronous, one tile in flight).  Kept as an opt-in for
+# experimentation; the Pallas effort goes where XLA is weak instead (the
+# WaveFlow AR step, ``ops/pallas/ar_step.py``).
 _ENABLED = False
 
 
-def set_fused_wn_enabled(flag: bool):
-    """Globally enable the Pallas fused WN layer (TPU only)."""
+def set_fused_wn_enabled(flag):
+    """Force the Pallas fused WN layer on/off."""
     global _ENABLED
     _ENABLED = bool(flag)
 
@@ -62,7 +70,8 @@ def wn_layer_xla(x, v, w_dil, w_out, dilation, has_res=True):
     return out
 
 
-def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
+def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret,
+                 precision):
     b, c, t = x.shape
     d2 = w_dil.shape[0]
     d_half = d2 // 2
@@ -82,6 +91,14 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
 
     out_dtype = x.dtype
 
+    # Global matmul precision is honored (ADVICE r1): DEFAULT = bf16 MXU
+    # operands (XLA's own f32 'default' semantics); HIGH/HIGHEST keep f32
+    # operands with Precision.HIGHEST dots (Mosaic rejects HIGH — probed on
+    # v5e: bf16 and f32-HIGHEST lower, 'Unsupported dot precision: HIGH').
+    fast = precision in (lax.Precision.DEFAULT, None)
+    op_dtype = jnp.bfloat16 if fast else jnp.float32
+    dot_prec = None if fast else lax.Precision.HIGHEST
+
     def kernel(xp_ref, v_ref, wd_ref, wo_ref, out_ref, xwin, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
@@ -90,19 +107,19 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
         cp.start()
         cp.wait()
 
-        # MXU operands in bf16 (the semantics of XLA's 'default' precision for
-        # f32 inputs), fp32 accumulation
         acc = jnp.zeros((d2, t_tile), jnp.float32)
         for k in range(3):
             acc += jax.lax.dot_general(
-                wd_ref[k].astype(jnp.bfloat16),
-                xwin[:, pl.ds(k * halo, t_tile)].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                wd_ref[k].astype(op_dtype),
+                xwin[:, pl.ds(k * halo, t_tile)].astype(op_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=dot_prec)
         xy = acc + v_ref[0].astype(jnp.float32)
         g = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
         out = jax.lax.dot_general(
-            wo_ref[:].astype(jnp.bfloat16), g.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            wo_ref[:].astype(op_dtype), g.astype(op_dtype if fast else jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_prec)
         if has_res:
             x_center = xwin[:, pl.ds(halo, t_tile)].astype(jnp.float32)
             out = jnp.concatenate([out[:c] + x_center, out[c:]], axis=0)
@@ -135,11 +152,11 @@ def _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(dilation, has_res, t_tile, interpret):
+def _make_fused(dilation, has_res, t_tile, interpret, precision):
     @jax.custom_vjp
     def fused(x, v, w_dil, w_out):
         return _pallas_impl(x, v, w_dil, w_out, dilation, has_res, t_tile,
-                            interpret)
+                            interpret, precision)
 
     def fwd(x, v, w_dil, w_out):
         return fused(x, v, w_dil, w_out), (x, v, w_dil, w_out)
@@ -165,4 +182,5 @@ def fused_wn_layer(x, v, w_dil, w_out, dilation, has_res, t_tile=512,
         w_out = w_out[..., 0]
     t_tile = min(t_tile, max(128, (x.shape[-1] // 128) * 128))
     return _make_fused(int(dilation), bool(has_res), int(t_tile),
-                       bool(interpret))(x, v, w_dil, w_out)
+                       bool(interpret),
+                       get_default_precision())(x, v, w_dil, w_out)

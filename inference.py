@@ -26,6 +26,9 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
     from constant_memory_waveglow_tpu.training import Experiment, checkpoint
     from constant_memory_waveglow_tpu.utils.audio import load_wav, save_wav

@@ -61,3 +61,20 @@ def test_uneven_length_padding(data):
     got = fused_wn_layer(x, v, wd, wo, 8, True, t_tile=256, interpret=True)
     assert got.shape == ref.shape
     assert float(jnp.abs(ref - got).max()) < 5e-2
+
+
+def test_fp32_precision_path(data):
+    """With global precision HIGHEST the kernel keeps f32 MXU operands —
+    parity with the XLA formulation tightens to ~1e-5 (vs 5e-2 for bf16)."""
+    from constant_memory_waveglow_tpu.ops import (
+        get_default_precision, set_default_precision)
+
+    x, v, wd, wo = data
+    prev = get_default_precision()
+    try:
+        set_default_precision("highest")
+        ref = wn_layer_xla(x, v, wd, wo, 4, True)
+        got = fused_wn_layer(x, v, wd, wo, 4, True, t_tile=256, interpret=True)
+        assert float(jnp.abs(ref - got).max()) < 1e-5
+    finally:
+        set_default_precision(prev)

@@ -56,6 +56,9 @@ def peak_temp_bytes(flows, channels, depth, batch, segment, memory_efficient):
 
 
 def main():
+
+    from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--flows", type=int, nargs="+", default=[4, 8, 12])
     p.add_argument("--channels", type=int, default=256)

@@ -65,6 +65,9 @@ def main():
         jax.distributed.initialize(args.coordinator, args.num_processes,
                                    args.process_id)
 
+    from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.parallel.mesh import (
         make_mesh, make_global_batch, replicate, data_axis_size)

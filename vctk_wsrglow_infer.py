@@ -42,6 +42,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
