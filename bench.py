@@ -164,6 +164,25 @@ def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
     return batch * segment / sr / dt, tflops
 
 
+def bench_waveflow_synthesis(batch=16, seconds=10.0, sr=22050, hop=256):
+    """WaveFlow AR inverse (canonical 64x64 config) via the fused Pallas
+    AR-step kernel; kHz at fp32 params, 'default' precision."""
+    from constant_memory_waveglow_tpu.models import WaveFlow
+    from constant_memory_waveglow_tpu.ops import set_default_precision
+    from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
+
+    set_default_precision("default")
+    model = WaveFlow(flows=8, n_group=64, n_mels=80, use_conv1x1=False,
+                     memory_efficient=False, dilation_channels=64,
+                     residual_channels=64, skip_channels=64, bias=False)
+    params = fuse_weight_norms(model.init(jax.random.PRNGKey(0)))
+    frames = int(seconds * sr) // hop
+    h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames))
+    infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 1.0))
+    dt = _time_chained_calls(infer, h, n=3)
+    return batch * frames * hop / dt / 1000.0
+
+
 def main():
     import os
 
@@ -191,6 +210,10 @@ def main():
             bench_train_step(batch=24, precision="high", n=6)[0], 2)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        details["waveflow_synthesis_khz_b16"] = round(bench_waveflow_synthesis(), 1)
+    except Exception as e:
+        details["waveflow_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants
         try:
             details["synthesis_khz_b16_bf16"] = round(

@@ -296,10 +296,39 @@ class WaveFlow(FlowBase):
 
             wn = self.WNs[k]
             wn_params = params["WNs"][k]
+            x0 = z[:, :, :1]  # first row passes through
+
+            from ..ops.pallas import ar_step as _ar
+
+            use_fused = ((_ar.fused_ar_enabled() or _ar._INTERPRET)
+                         and _ar.ar_step_supported(wn, w, z.dtype)
+                         and "b" not in wn_params["V"])
+            if use_fused:
+                from ..ops.convs import get_default_precision
+
+                # DMA lane dim must be 128-aligned: run the kernel at padded
+                # width and slice the (zero-padded, conv-local) results back
+                w_pad = ((w + 127) // 128) * 128
+                packed = _ar.pack_ar_weights(wn_params)
+                cond_all = conv1x1(y, wn_weight(wn_params["V"]["w"]))
+                cond_all = jnp.pad(cond_all, [(0, 0), (0, 0), (0, w_pad - w)])
+                hds, ds = tuple(wn.h_dilations), tuple(wn.dilations)
+                fast = get_default_precision() in (jax.lax.Precision.DEFAULT,)
+
+                z_in = jnp.pad(z[:, 0], [(0, 0), (0, 0), (0, w_pad - w)])
+                x_rows, log_rows = _ar.fused_ar_flow(
+                    packed, z_in[:, :, None, :], cond_all, h_dilations=hds,
+                    dilations=ds, residual=wn.residual_channels,
+                    skip=wn.skip_channels, interpret=_ar._INTERPRET,
+                    fast=fast)
+                logdet = logdet - log_rows[..., :w].sum((1, 2, 3))
+                z = jnp.concatenate([z[:, :, :1],
+                                     x_rows[:, 1:, :, :w].transpose(0, 2, 1, 3)], 2)
+                continue
+
+            # XLA lax.scan fallback path
             cond = wn._cond_chunks(wn_params, y)
             buffers = wn.init_buffers(b, w, z.dtype)
-
-            x0 = z[:, :, :1]  # first row passes through
 
             def step(carry, inp):
                 z_row, s = inp
@@ -310,10 +339,11 @@ class WaveFlow(FlowBase):
                 ld = ld - log_s.sum((1, 2, 3))
                 return (x_new, buffers, ld), x_new
 
+            carry0 = (x0, buffers, jnp.zeros((b,), z.dtype))
+
             z_rows = jnp.moveaxis(z[:, :, 1:], 2, 0)[:, :, :, None, :]  # [G-1, B, 1, 1, W]
             (x_last, _, ld), xs = jax.lax.scan(
-                step, (x0, buffers, jnp.zeros((b,), z.dtype)),
-                (z_rows, jnp.arange(g - 1)))
+                step, carry0, (z_rows, jnp.arange(g - 1)))
             logdet = logdet + ld
             rows = jnp.moveaxis(xs[:, :, :, 0], 0, 2)  # [B, 1, G-1, W]
             z = jnp.concatenate([x0, rows], 2)

@@ -1,0 +1,412 @@
+"""Pallas TPU kernel: fused WaveFlow autoregressive row step.
+
+The AR inverse runs 63 sequential steps per flow (``model/waveflow.py:243-258``
+in the reference); each step pushes one generated row through the 8-layer
+height-causal WN with per-layer conv caches.  Measured on a v5e (honest
+scalar-forced timing, batch 16, W 3440, 64 ch): the XLA ``lax.scan`` body
+costs ~47 ms/step, ~25 ms of which is the per-layer ring-buffer
+``dynamic_update_slice``/``dynamic_slice`` traffic (XLA copies the carried
+rings every iteration) and ~7 ms the un-fused tap-gather GEMM chain.
+
+This kernel runs the WHOLE step — 8 layers, ring reads, gate, residual/skip,
+``end`` projection — in one ``pallas_call``:
+
+* rings live in HBM and are **aliased input->output**
+  (``input_output_aliases``): the step writes exactly one [C, W] row per
+  layer at ``s mod rows`` and DMAs the two old tap rows it needs — no copy
+  of the window, no XLA carry materialization;
+* the 3x3 conv-as-9-taps contraction happens straight out of VMEM rows
+  (weight tap [2D, C] x shifted row [C, W] accumulated in fp32) with no
+  [B, C, 3, 3, W] tap tensor ever materialized;
+* the conditioning projection chunk for each layer is DMA'd from the
+  precomputed V(y) (hoisted outside the scan, reference
+  ``model/waveflow.py:142-143``).
+
+Ring semantics match ``WN2D.ar_step``: write position ``pos = s mod
+(2*hd+1)``; taps (oldest->newest) at ``(pos+1) mod n``, ``(pos+hd+1) mod n``,
+and the fresh row; unwritten rows are the zero-init.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..convs import get_default_precision
+
+# auto gate: on for TPU backends unless forced; CPU tests force-enable with
+# interpret=True
+_ENABLED = None
+_INTERPRET = False  # run the kernel in interpreter mode (CPU tests)
+
+
+def set_fused_ar_enabled(flag):
+    global _ENABLED
+    _ENABLED = flag
+
+
+def fused_ar_enabled() -> bool:
+    if _ENABLED is None:
+        return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    return bool(_ENABLED)
+
+
+def _plain(w):
+    """Weight must be resolved (no weight-norm dicts) for the kernel."""
+    assert not isinstance(w, dict) or "v" not in w, (
+        "fused AR step needs resolved weights; call resolve/fuse first")
+    return w
+
+
+def pack_ar_weights(params, depth=8):
+    """Pre-pack a WN2D param tree (weight-norm already resolved) for the
+    kernel.  Returns a dict of plain arrays; do this once per flow, outside
+    the scan."""
+    from ..weightnorm import wn_weight
+
+    layers = params["layers"]
+    wt = jnp.stack([wn_weight(lp["W"]["w"]) for lp in layers])  # [8, 2D, C, 3, 3]
+    d2, c = wt.shape[1], wt.shape[2]
+    # single-dot layout [8, 2D, 9C] with columns ordered (h, k, c) to match
+    # the kernel's tap stacking; K=9C fills the MXU far better than 9 K=C dots
+    wt9 = wt.transpose(0, 1, 3, 4, 2).reshape(len(layers), d2, 9 * c)
+    wt = wt.transpose(0, 3, 4, 1, 2)  # [8, 3, 3, 2D, C]
+    wo_mid = jnp.stack([wn_weight(layers[i]["W_o"]["w"])[..., 0, 0]
+                        for i in range(depth - 1)])  # [7, r+s, D]
+    wo_last = wn_weight(layers[-1]["W_o"]["w"])[..., 0, 0]  # [s, D]
+    w_start = wn_weight(params["start"]["w"])[..., 0, 0]  # [r, 1]
+    w_end = wn_weight(params["end"]["w"])[..., 0, 0]  # [2, s]
+    return {"wt": wt, "wt9": wt9, "wo_mid": wo_mid, "wo_last": wo_last,
+            "w_start": w_start, "w_end": w_end}
+
+
+def ring_indices(s, h_dilations):
+    """Per-layer (write_pos, tap0_row, tap1_row) for step s -> [depth, 3]."""
+    idx = []
+    for hd in h_dilations:
+        n = 2 * hd + 1
+        pos = lax.rem(s, n)
+        idx.append(jnp.stack([pos, lax.rem(pos + 1, n),
+                              lax.rem(pos + hd + 1, n)]))
+    return jnp.stack(idx).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_dilations", "dilations", "residual", "skip",
+                     "interpret", "fast"))
+def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
+                  dilations, residual, skip, interpret=False, fast=True):
+    """One fused AR step.
+
+    packed: from :func:`pack_ar_weights`; x_row: [B, W] (raw previous row);
+    cond_all: [B, 2D*depth, W]; rings: tuple of [B, 2*hd+1, C, W] (row-major
+    so the dynamically-indexed row dim is outside the (C, W) tiling; donated
+    — updated in place via aliasing); idx: [depth, 3] int32 from
+    :func:`ring_indices`.
+
+    Returns (log_s [B, W], t [B, W], new_rings).
+    """
+    depth = len(h_dilations)
+    b, w_len = x_row.shape
+    r = residual
+    d2 = packed["wt"].shape[3]
+    d_half = d2 // 2
+    dtype = x_row.dtype
+    op_dtype = jnp.bfloat16 if fast else jnp.float32
+    dot_prec = None if fast else lax.Precision.HIGHEST
+
+    def dot(a, bmat):
+        return lax.dot_general(
+            a.astype(op_dtype), bmat.astype(op_dtype if fast else jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_prec)
+
+    def kernel(idx_ref, x_ref, cond_ref, wt_ref, wom_ref, wol_ref, wst_ref,
+               wend_ref, *ring_and_out):
+        rings_in = ring_and_out[:depth]
+        out_ref = ring_and_out[depth]
+        rings_out = ring_and_out[depth + 1 : 2 * depth + 1]
+        t0_s, t1_s, xbuf_s, cond_s, sems = ring_and_out[2 * depth + 1:]
+        pending_w = [None, None]  # ping-pong write-backs in flight
+
+        bi = pl.program_id(0)
+        # start conv: [r, 1] x [1, W] outer product on the VPU
+        x = wst_ref[:, :1] * x_ref[0, 0][None, :].astype(jnp.float32)  # [r, W]
+        cum_skip = jnp.zeros((skip, w_len), jnp.float32)
+
+        for i in range(depth):
+            # ---- DMA: tap rows from the ring, cond chunk; write new row
+            cp0 = pltpu.make_async_copy(
+                rings_in[i].at[bi, idx_ref[i, 1]], t0_s, sems.at[0])
+            cp1 = pltpu.make_async_copy(
+                rings_in[i].at[bi, idx_ref[i, 2]], t1_s, sems.at[1])
+            cpc = pltpu.make_async_copy(
+                cond_ref.at[bi, pl.ds(i * d2, d2)], cond_s, sems.at[2])
+            cp0.start(); cp1.start(); cpc.start()
+            slot = i % 2
+            if pending_w[slot] is not None:
+                pending_w[slot].wait()  # staging slot free again
+            xbuf_s[slot] = x.astype(dtype)
+            cpw = pltpu.make_async_copy(
+                xbuf_s.at[slot], rings_out[i].at[bi, idx_ref[i, 0]],
+                sems.at[3 + slot])
+            cpw.start()
+            pending_w[slot] = cpw
+            cp0.wait(); cp1.wait(); cpc.wait()
+
+            d = dilations[i]
+            rows = (t0_s[:].astype(jnp.float32),
+                    t1_s[:].astype(jnp.float32), x)
+            acc = jnp.zeros((d2, w_len), jnp.float32)
+            for h in range(3):
+                row_p = jnp.pad(rows[h], [(0, 0), (d, d)])
+                for k in range(3):
+                    acc += dot(wt_ref[i, h, k], row_p[:, k * d : k * d + w_len])
+            xy = acc + cond_s[:].astype(jnp.float32)
+            g = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
+            if i == depth - 1:
+                out = dot(wol_ref[:], g)
+                cum_skip = cum_skip + out
+            else:
+                out = dot(wom_ref[i], g)
+                x = x + out[:r]
+                cum_skip = cum_skip + out[r:]
+        for cpw in pending_w:
+            if cpw is not None:
+                cpw.wait()
+        res = dot(wend_ref[:], cum_skip)  # [2, W]
+        out_ref[0] = res.astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, w_len), lambda bi, idx: (bi, 0, 0)),  # x_row
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cond_all
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo_mid
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo_last
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_start
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_end
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * depth,  # rings
+        out_specs=[
+            pl.BlockSpec((1, 2, w_len), lambda bi, idx: (bi, 0, 0)),  # out
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * depth,  # rings out
+        scratch_shapes=[
+            pltpu.VMEM((r, w_len), dtype),  # t0
+            pltpu.VMEM((r, w_len), dtype),  # t1
+            pltpu.VMEM((2, r, w_len), dtype),  # xbuf ping-pong staging
+            pltpu.VMEM((d2, w_len), dtype),  # cond chunk
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+
+    out_shapes = [jax.ShapeDtypeStruct((b, 2, w_len), dtype)] + [
+        jax.ShapeDtypeStruct(rg.shape, rg.dtype) for rg in rings]
+    # inputs: idx(0) x(1) cond(2) wt(3) wom(4) wol(5) wst(6) wend(7),
+    # rings at 8..8+depth-1 -> alias to outputs 1..depth
+    aliases = {8 + i: 1 + i for i in range(depth)}
+
+    out, *new_rings = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(idx, x_row[:, None], cond_all, packed["wt"], packed["wo_mid"],
+      packed["wo_last"], packed["w_start"], packed["w_end"], *rings)
+
+    return out[:, 0], out[:, 1], tuple(new_rings)
+
+
+def init_rings(batch, residual, h_dilations, width, dtype):
+    """Zero ring buffers in the kernel's [B, rows, C, W] layout."""
+    return tuple(jnp.zeros((batch, 2 * hd + 1, residual, width), dtype)
+                 for hd in h_dilations)
+
+
+def ar_step_supported(wn, w_len, dtype) -> bool:
+    """Whether the fused kernel can run this configuration."""
+    # VMEM budget: 4 scratch rows/chunks + weights; cap the row length
+    return (wn.bias is False
+            and dtype == jnp.float32
+            and wn.depth == 8
+            and w_len <= 8192)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_dilations", "dilations", "residual", "skip",
+                     "interpret", "fast"))
+def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
+                  skip, interpret=False, fast=True):
+    """The ENTIRE autoregressive inverse of one flow in one kernel.
+
+    Per-step kernel launches dominate the AR cost (~640 us per program-step
+    measured vs ~30 us of work), so the 63-step recursion runs *inside* the
+    kernel as a ``fori_loop``: the residual row stays in VMEM, ring taps are
+    DMA'd from HBM, and the generated audio row and log_s row are DMA'd out
+    per step.  The z row for step s+1 is prefetched during the layer chain.
+
+    z: [B, G, 1, W] (row g is the flow's z for height g; row 0 passes
+    through; the singleton dim keeps row slices outside the (sublane, lane)
+    tiling); cond_all: [B, 2D*depth, W].  W must be 128-aligned (pad +
+    slice outside).  Returns (x_rows [B, G, 1, W] with rows 1.. generated,
+    row 0 garbage — overwrite with z row 0 outside; log_s_rows
+    [B, G-1, 1, W]).
+    """
+    depth = len(h_dilations)
+    b, g, _, w_len = z.shape
+    assert w_len % 128 == 0, "pad W to a lane multiple outside"
+    r = residual
+    d2 = packed["wt"].shape[3]
+    d_half = d2 // 2
+    dtype = z.dtype
+    op_dtype = jnp.bfloat16 if fast else jnp.float32
+    dot_prec = None if fast else lax.Precision.HIGHEST
+
+    def dot(a, bmat):
+        return lax.dot_general(
+            a.astype(op_dtype), bmat.astype(op_dtype if fast else jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_prec)
+
+    n_rings = [2 * hd + 1 for hd in h_dilations]
+
+    def kernel(z_ref, cond_ref, wt9_ref, wom_ref, wol_ref, wst_ref, wend_ref,
+               *ring_and_out):
+        rings_in = ring_and_out[:depth]
+        x_out = ring_and_out[depth]
+        logs_out = ring_and_out[depth + 1]
+        rings_out = ring_and_out[depth + 2 : 2 * depth + 2]
+        (zrow_s, t0_s, t1_s, xw_s, cond_s, outrow_s, taps9_s, sems) = \
+            ring_and_out[2 * depth + 2:]
+
+        bi = pl.program_id(0)
+
+        # x0 = z row 0 (passes through untransformed)
+        cp = pltpu.make_async_copy(z_ref.at[bi, 0], zrow_s, sems.at[0])
+        cp.start(); cp.wait()
+        x_first = zrow_s[:].astype(jnp.float32)  # [1, W]
+
+        def body(s, x_row):
+            # prefetch z_{s+1} while the layer chain runs
+            cpz = pltpu.make_async_copy(
+                z_ref.at[bi, s + 1], zrow_s, sems.at[6])
+            cpz.start()
+
+            x = wst_ref[:, :1] * x_row  # [r, W] start conv
+            cum_skip = jnp.zeros((skip, w_len), jnp.float32)
+            for i in range(depth):
+                n = n_rings[i]
+                hd = h_dilations[i]
+                pos = lax.rem(s, n)
+                tap0 = lax.rem(pos + 1, n)
+                tap1 = lax.rem(pos + hd + 1, n)
+                # NB: read the *output* refs — they alias the inputs at
+                # the call boundary, but in-kernel they are the refs the
+                # previous iterations' writes went to
+                cp0 = pltpu.make_async_copy(
+                    rings_out[i].at[bi, tap0], t0_s, sems.at[0])
+                cp1 = pltpu.make_async_copy(
+                    rings_out[i].at[bi, tap1], t1_s, sems.at[1])
+                cpc = pltpu.make_async_copy(
+                    cond_ref.at[bi, pl.ds(i * d2, d2)], cond_s, sems.at[2])
+                cp0.start(); cp1.start(); cpc.start()
+                slot = i % 2
+                xw_s[slot] = x.astype(dtype)
+                cpw = pltpu.make_async_copy(
+                    xw_s.at[slot], rings_out[i].at[bi, pos], sems.at[3 + slot])
+                cpw.start()
+                cp0.wait(); cp1.wait(); cpc.wait()
+
+                d = dilations[i]
+                rows = (t0_s[:].astype(jnp.float32),
+                        t1_s[:].astype(jnp.float32), x)
+                # stage the 9 shifted taps into one [9C, W] scratch so the
+                # conv is a single K=9C MXU dot (Mosaic cannot concat
+                # lane-offset slices directly)
+                for h in range(3):
+                    row_p = jnp.pad(rows[h], [(0, 0), (d, d)])
+                    for k in range(3):
+                        taps9_s[pl.ds((h * 3 + k) * r, r)] = (
+                            row_p[:, k * d : k * d + w_len].astype(dtype))
+                xy = (dot(wt9_ref[i], taps9_s[:].astype(jnp.float32))
+                      + cond_s[:].astype(jnp.float32))
+                gate = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
+                if i == depth - 1:
+                    out = dot(wol_ref[:], gate)
+                    cum_skip = cum_skip + out
+                else:
+                    out = dot(wom_ref[i], gate)
+                    x = x + out[:r]
+                    cum_skip = cum_skip + out[r:]
+                cpw.wait()  # ring row committed; staging slot reusable
+
+            res = dot(wend_ref[:], cum_skip)  # [2, W] = (log_s, t)
+            cpz.wait()
+            x_new = ((zrow_s[:].astype(jnp.float32) - res[1:2])
+                     * jnp.exp(-res[0:1]))
+
+            # stream out log_s row and the generated audio row
+            outrow_s[0] = res[0:1].astype(dtype)
+            outrow_s[1] = x_new.astype(dtype)
+            cpl = pltpu.make_async_copy(
+                outrow_s.at[0], logs_out.at[bi, s], sems.at[5])
+            cpx = pltpu.make_async_copy(
+                outrow_s.at[1], x_out.at[bi, s + 1], sems.at[7])
+            cpl.start(); cpx.start()
+            cpl.wait(); cpx.wait()
+            return x_new
+
+        lax.fori_loop(0, g - 1, body, x_first)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # z
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cond
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo_mid
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo_last
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_start
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_end
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * depth,  # rings
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # log_s rows
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * depth,
+        scratch_shapes=[
+            pltpu.VMEM((1, w_len), dtype),  # z row
+            pltpu.VMEM((r, w_len), dtype),  # tap 0
+            pltpu.VMEM((r, w_len), dtype),  # tap 1
+            pltpu.VMEM((2, r, w_len), dtype),  # ring write ping-pong
+            pltpu.VMEM((d2, w_len), dtype),  # cond chunk
+            pltpu.VMEM((2, 1, w_len), dtype),  # out-row staging (log_s, x)
+            pltpu.VMEM((9 * r, w_len), dtype),  # stacked taps for one K=9C dot
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+
+    rings = init_rings(b, r, h_dilations, w_len, dtype)
+    out_shapes = [jax.ShapeDtypeStruct((b, g, 1, w_len), dtype),
+                  jax.ShapeDtypeStruct((b, g - 1, 1, w_len), dtype)] + [
+        jax.ShapeDtypeStruct(rg.shape, rg.dtype) for rg in rings]
+    aliases = {7 + i: 2 + i for i in range(depth)}
+
+    x_rows, log_rows, *_ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(z, cond_all, packed["wt9"], packed["wo_mid"], packed["wo_last"],
+      packed["w_start"], packed["w_end"], *rings)
+    return x_rows, log_rows

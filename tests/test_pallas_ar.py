@@ -1,0 +1,78 @@
+"""Fused WaveFlow AR-step kernel (interpret mode on CPU): per-step parity
+with WN2D.ar_step (log_s/t and ring contents), across hd=1 and hd>1
+schedules, plus whole-flow AR inverse parity with the kernel forced on."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from constant_memory_waveglow_tpu.models.waveflow import WN2D, WaveFlow
+from constant_memory_waveglow_tpu.ops.pallas.ar_step import (
+    fused_ar_step, pack_ar_weights, ring_indices)
+from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
+from constant_memory_waveglow_tpu.ops.convs import conv1x1
+from constant_memory_waveglow_tpu.ops.weightnorm import wn_weight
+
+
+@pytest.mark.parametrize("n_group", [8, 64])
+def test_fused_ar_step_matches_xla(n_group):
+    b, w_len, ch = 2, 96, 8
+    wn = WN2D(n_group, 6, dilation_channels=ch, residual_channels=ch,
+              skip_channels=ch, bias=False, zero_init=False)
+    params = fuse_weight_norms(wn.init(jax.random.PRNGKey(0)))
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, 6, w_len))
+
+    cond = wn._cond_chunks(params, y)
+    cond_all = conv1x1(y, wn_weight(params["V"]["w"]))  # [B, 2D*8, W]
+    packed = pack_ar_weights(params)
+
+    from constant_memory_waveglow_tpu.ops.pallas.ar_step import init_rings
+
+    bufs_ref = wn.init_buffers(b, w_len, jnp.float32)
+    rings = init_rings(b, ch, wn.h_dilations, w_len, jnp.float32)
+
+    x_row = jax.random.normal(jax.random.PRNGKey(2), (b, 1, 1, w_len))
+    for s in range(min(n_group - 1, 6)):
+        log_s_ref, t_ref, bufs_ref = wn.ar_step(
+            params, x_row, cond, bufs_ref, jnp.asarray(s))
+        idx = ring_indices(jnp.asarray(s), tuple(wn.h_dilations))
+        log_s, t, rings = fused_ar_step(
+            packed, x_row[:, 0, 0], cond_all, rings, idx,
+            h_dilations=tuple(wn.h_dilations), dilations=tuple(wn.dilations),
+            residual=ch, skip=ch, interpret=True, fast=False)
+        np.testing.assert_allclose(log_s, log_s_ref[:, 0, 0], atol=1e-5,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(t, t_ref[:, 0, 0], atol=1e-5, rtol=1e-5)
+        for rg, bu in zip(rings, bufs_ref):
+            np.testing.assert_allclose(rg.transpose(0, 2, 1, 3), bu, atol=1e-6)
+        # next input row depends on the outputs (AR recursion)
+        x_row = (x_row * 0.7 + t_ref * 0.1) * jnp.exp(-log_s_ref * 0.1)
+
+
+def test_waveflow_reverse_with_fused_kernel():
+    """Whole-model AR inverse, kernel forced on (interpret) == XLA scan."""
+    from constant_memory_waveglow_tpu.ops.pallas import ar_step as mod
+
+    kw = dict(flows=2, n_group=8, n_mels=10, use_conv1x1=False,
+              memory_efficient=False, dilation_channels=8,
+              residual_channels=8, skip_channels=8, bias=False,
+              zero_init=False)
+    model = WaveFlow(**kw)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1024)) * 0.3
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 4))
+
+    z, _ = model.forward_computation(params, x, h)
+    x_ref, ld_ref = model.reverse_computation(params, z, h)
+
+    prev = mod._ENABLED
+    mod.set_fused_ar_enabled(True)
+    mod._INTERPRET = True
+    try:
+        x_fused, ld_fused = model.reverse_computation(params, z, h)
+    finally:
+        mod.set_fused_ar_enabled(prev)
+        mod._INTERPRET = False
+    np.testing.assert_allclose(x_fused, x_ref, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(ld_fused, ld_ref, atol=1e-3, rtol=1e-5)
