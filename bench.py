@@ -229,6 +229,17 @@ def main():
                                  precision="high", n=6)[0], 2)
         except Exception as e:
             details["waveflow_train_error"] = str(e)[:120]
+        mg_args = dict(flows=12, n_group=8, n_early_every=4, n_early_size=2,
+                       hop_size=256, n_mels=80, memory_efficient=False,
+                       dilation_channels=48, residual_channels=48,
+                       skip_channels=48, depth=7, radix=3,
+                       predict_channels=64, predict_layers=3, bias=False)
+        try:
+            details["melglow_train_audio_s_per_s_b8"] = round(
+                bench_train_step(cfg=_train_cfg("MelGlow", mg_args),
+                                 precision="high", n=6)[0], 2)
+        except Exception as e:
+            details["melglow_train_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "waveglow_synthesis",
         "value": round(khz, 1),

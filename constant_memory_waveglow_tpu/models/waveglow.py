@@ -97,7 +97,39 @@ class WaveGlow(FlowBase):
             "invconv1x1": [c.init(k) for c, k in zip(self.invconv1x1, keys[1::2])],
             "WNs": [b.init(k) for b, k in zip(self.WNs, keys[2::2])],
         }
+        if self.scan_flows:
+            # native layout = the scanned-group layout: params are stored
+            # flow-stacked per group, so forward/backward consume them with
+            # ZERO per-step restacking copies — the remaining memory slope
+            # per flow is just the parameters themselves (args, not temps)
+            params = self.stack_param_layout(params)
         return params
+
+    def stack_param_layout(self, legacy):
+        """Per-flow list layout -> flow-stacked scan-group layout.
+
+        Keys other than the per-flow lists (upsampler, subclass extras like
+        WSRGlow's embeddings) pass through untouched."""
+        out = {k: v for k, v in legacy.items() if k not in ("invconv1x1", "WNs")}
+        out["groups"] = [self._stacked_group_params(legacy, g)
+                        for g in self.flow_groups]
+        return out
+
+    def unstack_param_layout(self, params):
+        """Flow-stacked layout -> per-flow list layout (tooling/export)."""
+        if "groups" not in params:
+            return params
+        inv, wns = [], []
+        for gp in params["groups"]:
+            n = jax.tree_util.tree_leaves(gp["invconv"])[0].shape[0]
+            for i in range(n):
+                take = lambda a: a[i]
+                inv.append(jax.tree_util.tree_map(take, gp["invconv"]))
+                wns.append({"F": jax.tree_util.tree_map(take, gp["WN"])})
+        out = {k: v for k, v in params.items() if k != "groups"}
+        out["invconv1x1"] = inv
+        out["WNs"] = wns
+        return out
 
     # --------------------------------------------------------------- internals
     def _upsample_h(self, params, h):
@@ -118,6 +150,14 @@ class WaveGlow(FlowBase):
         return stack_flow_params([params["invconv1x1"][k] for k in group],
                                  [params["WNs"][k] for k in group])
 
+    def _group_params(self, params, gi):
+        """Stacked params for group gi: native when the tree carries the
+        scan-group layout, lazily stacked from a per-flow-list tree (torch
+        imports, parity tooling) otherwise."""
+        if "groups" in params:
+            return params["groups"][gi]
+        return self._stacked_group_params(params, self.flow_groups[gi])
+
     # ------------------------------------------------------------------- flows
     def forward_computation(self, params, x, h):
         """x: [B, T] audio, h: [B, n_mels, frames] -> (z [B, T], logdet [B])."""
@@ -135,7 +175,7 @@ class WaveGlow(FlowBase):
                     early, x = x[:, : self.n_early_size], x[:, self.n_early_size :]
                     output_audio.append(early)
                 fwd_eff = self._group_fns[gi][2]
-                x, ld = fwd_eff(self._stacked_group_params(params, group), x, y)
+                x, ld = fwd_eff(self._group_params(params, gi), x, y)
                 logdet = logdet + ld
         else:
             for k in range(self.flows):
@@ -163,8 +203,7 @@ class WaveGlow(FlowBase):
         if self.scan_flows:
             for gi in range(len(self.flow_groups) - 1, -1, -1):
                 rev_eff = self._group_fns[gi][3]
-                z, ld = rev_eff(
-                    self._stacked_group_params(params, self.flow_groups[gi]), z, y)
+                z, ld = rev_eff(self._group_params(params, gi), z, y)
                 logdet = logdet + ld
                 if gi:
                     z = jnp.concatenate([remained_z.pop(), z], 1)

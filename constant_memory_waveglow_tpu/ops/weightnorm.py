@@ -29,12 +29,21 @@ def wn_init(v):
 
 
 def wn_weight(p):
-    """Resolve a maybe-weight-normed param ({'v','g'} or {'w'} or raw array)."""
+    """Resolve a maybe-weight-normed param ({'v','g'} or {'w'} or raw array).
+
+    The normalization axes are inferred from ``g``'s broadcast shape (the
+    axes where g has extent 1): for a per-conv param g is [out, 1, ...] —
+    PyTorch's ``dim=0`` — and for a *flow-stacked* param ([n_flows, out, ...],
+    the scan-group layout) g is [n, out, 1, ...], giving per-(flow, out)
+    norms.  Both resolve correctly through the same rule.
+    """
     if isinstance(p, dict):
         if "w" in p:
             return p["w"]
         v, g = p["v"], p["g"]
-        return g * v / _norm(v)
+        axes = tuple(i for i, s in enumerate(g.shape) if s == 1)
+        norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+        return g * v / norm
     return p
 
 

@@ -25,13 +25,16 @@ def _spec_for_path(path_keys, leaf):
     """Sharding spec for one param leaf based on its key path."""
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path_keys]
     ndim = getattr(leaf, "ndim", 0)
+    # the scan-group layout stacks flows on a leading axis ("groups" subtree):
+    # the channel axes shift right by one and the flow axis stays unsharded
+    shift = 1 if "groups" in keys else 0
 
     def spec(*axes):
-        full = list(axes) + [None] * (ndim - len(axes))
+        full = [None] * shift + list(axes) + [None] * ndim
         return P(*full[:ndim])
 
     # only WN-stack weights are sharded; everything else stays replicated
-    if any(k in keys for k in ("invconv1x1", "upsampler", "pred",
+    if any(k in keys for k in ("invconv1x1", "invconv", "upsampler", "pred",
                                "mu_embed", "angle_embed")):
         return P()
     # weight-norm g has shape [out, 1, ...]; raw weights [out, in, k]
@@ -40,7 +43,7 @@ def _spec_for_path(path_keys, leaf):
     if "W_o" in keys or "end" in keys:
         if keys[-1] == "g":
             return spec(None)  # per-out-channel scale, out not sharded
-        if ndim >= 2:
+        if ndim >= 2 + shift:
             return spec(None, "model")  # row-parallel: in channels sharded
     return P()
 

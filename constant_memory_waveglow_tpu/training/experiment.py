@@ -31,6 +31,25 @@ def build_conditioner(config):
     return get_instance(CONDITIONER_REGISTRY, config)
 
 
+def _map_param_trees(tree, match, fn):
+    """Apply ``fn`` to every params-shaped subtree selected by ``match``.
+
+    Optimizer states (Adam moments) mirror the params structure, so a layout
+    conversion must reach inside ``opt_state`` namedtuples too; this walker
+    rebuilds dicts/lists/(named)tuples around the converted subtrees.
+    """
+    if isinstance(tree, dict):
+        if match(tree):
+            return fn(tree)
+        return {k: _map_param_trees(v, match, fn) for k, v in tree.items()}
+    if isinstance(tree, tuple):
+        vals = [_map_param_trees(v, match, fn) for v in tree]
+        return type(tree)(*vals) if hasattr(tree, "_fields") else tuple(vals)
+    if isinstance(tree, list):
+        return [_map_param_trees(v, match, fn) for v in tree]
+    return tree
+
+
 class Experiment:
     def __init__(self, config: dict):
         from ..utils.config import normalize_config
@@ -61,6 +80,30 @@ class Experiment:
             "opt_state": self.optimizer.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
+
+    # ------------------------------------------------------- checkpoint layout
+    # On-disk canonical layout is the per-flow list layout (round-1
+    # checkpoints, torch imports, parity tooling).  Models that compute in
+    # the flow-stacked scan-group layout convert at the save/restore
+    # boundary so old checkpoints stay loadable and new ones stay portable.
+    def canonical_state(self, state):
+        """Native (possibly flow-stacked) state -> on-disk per-flow layout."""
+        m = self.model
+        if not hasattr(m, "unstack_param_layout"):
+            return state
+        return _map_param_trees(
+            state, lambda d: "groups" in d, m.unstack_param_layout)
+
+    def native_state(self, state):
+        """On-disk per-flow layout -> the model's compute layout."""
+        m = self.model
+        if not (hasattr(m, "stack_param_layout")
+                and getattr(m, "scan_flows", False)):
+            return state
+        return _map_param_trees(
+            state,
+            lambda d: "invconv1x1" in d and "upsampler" in d,
+            m.stack_param_layout)
 
     # ------------------------------------------------------------------- step
     def make_train_step(self, donate=True, compute_dtype=None):

@@ -35,7 +35,7 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
 
     config = checkpoint.load_config_from_checkpoint(ckpt)
     exp = Experiment(config)
-    state = checkpoint.restore_raw(ckpt)
+    state = exp.native_state(checkpoint.restore_raw(ckpt))
     params = exp._infer_params(state)
     params = fuse_weight_norms(params)  # remove_weight_norms (inference.py:17)
 

@@ -116,14 +116,21 @@ def test_waveglow_scan_matches_unrolled():
     m_scan = WaveGlow(memory_efficient=True, scan_flows=True, **kwargs)
     m_unrl = WaveGlow(memory_efficient=True, scan_flows=False, **kwargs)
     assert m_scan.scan_flows and not m_unrl.scan_flows
+    # same RNG stream -> same values; scan model stores them flow-stacked
+    params_l = m_unrl.init(jax.random.PRNGKey(0))
     params = m_scan.init(jax.random.PRNGKey(0))
+    # layout round-trip sanity
+    rt = m_scan.stack_param_layout(m_scan.unstack_param_layout(params))
+    for a, b in zip(jax.tree_util.tree_leaves(rt),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(a, b)
 
     b, t = 2, 512
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t)) * 0.3
     h = jax.random.normal(jax.random.PRNGKey(2), (b, 10, t // 64))
 
     z1, ld1 = m_scan.forward(params, x, h)
-    z2, ld2 = m_unrl.forward(params, x, h)
+    z2, ld2 = m_unrl.forward(params_l, x, h)
     np.testing.assert_allclose(z1, z2, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(ld1, ld2, atol=1e-3, rtol=1e-5)
 
@@ -138,7 +145,9 @@ def test_waveglow_scan_matches_unrolled():
         return f
 
     g1 = jax.grad(loss(m_scan))(params)
-    g2 = jax.grad(loss(m_unrl))(params)
+    g2 = jax.grad(loss(m_unrl))(params_l)
+    # compare per-flow grads against the stacked grads
+    g2s = m_scan.stack_param_layout(g2)
     for a, b_ in zip(jax.tree_util.tree_leaves(g1),
-                     jax.tree_util.tree_leaves(g2)):
+                     jax.tree_util.tree_leaves(g2s)):
         np.testing.assert_allclose(a, b_, atol=5e-5, rtol=5e-4)

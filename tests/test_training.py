@@ -103,6 +103,39 @@ def test_train_step_and_checkpoint_roundtrip(tmp_path):
     assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-6
 
 
+def test_canonical_layout_checkpoint_roundtrip(tmp_path):
+    """On-disk layout is per-flow (round-1 / torch-import compatible) even
+    when the model computes in the flow-stacked scan-group layout."""
+    exp = Experiment(TINY_CONFIG)
+    assert exp.model.scan_flows  # native layout is stacked
+    state = exp.init_state(jax.random.PRNGKey(0))
+    step = exp.make_train_step(donate=False)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+    state2, _ = step(state, batch)
+
+    canon = exp.canonical_state(jax.device_get(state2))
+    # canonical tree is the legacy per-flow layout, Adam moments included
+    assert "invconv1x1" in canon["params"] and "groups" not in canon["params"]
+    mu = canon["opt_state"][0].mu
+    assert "invconv1x1" in mu and "groups" not in mu
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(ckpt_dir, 1, canon, TINY_CONFIG)
+    restored = exp.native_state(checkpoint.restore_checkpoint(
+        ckpt_dir, exp.canonical_state(exp.init_state(jax.random.PRNGKey(5)))))
+
+    err = max(tu.tree_leaves(tu.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                   - jnp.asarray(b, jnp.float32)).max()),
+        jax.device_get(state2), restored)))
+    assert err == 0.0
+
+    # resume continues deterministically through the layout round-trip
+    _, m_a = step(state2, batch)
+    _, m_b = step(restored, batch)
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-6
+
+
 def test_data_parallel_matches_single_device():
     """8-device DP step == single-device step on the same global batch."""
     assert jax.device_count() >= 8

@@ -36,7 +36,9 @@ def main():
 
     config = checkpoint.load_config_from_checkpoint(args.ckpt)
     exp = Experiment(config)
-    state = checkpoint.restore_checkpoint(args.ckpt, exp.init_state(jax.random.PRNGKey(0)))
+    # on-disk layout is canonical per-flow; keep the lean export canonical too
+    state = checkpoint.restore_checkpoint(
+        args.ckpt, exp.canonical_state(exp.init_state(jax.random.PRNGKey(0))))
 
     lean = {
         "params": fuse_weight_norms(state["params"]),

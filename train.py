@@ -106,7 +106,11 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     state = exp.init_state(key)
     if args.ckpt_path:
-        state = checkpoint.restore_checkpoint(args.ckpt_path, state)
+        # checkpoints are stored in the canonical per-flow layout; restore
+        # into that structure and convert back to the model's compute layout
+        state = exp.native_state(
+            checkpoint.restore_checkpoint(args.ckpt_path,
+                                          exp.canonical_state(state)))
         print(f"resumed from {args.ckpt_path} at step {int(state['step'])}")
 
     global_batch = config["data_loader"]["batch_size"]
@@ -172,8 +176,9 @@ def main():
         if is_main:
             # async: device->host snapshot inline, disk write in background —
             # the step loop of the next epoch is not blocked on I/O
-            checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state),
-                                       config, async_save=True)
+            checkpoint.save_checkpoint(
+                ckpt_dir, step, exp.canonical_state(jax.device_get(state)),
+                config, async_save=True)
             checkpoint.prune_checkpoints(ckpt_dir, keep=args.keep_ckpts)
 
         if test_y is not None and is_main:  # TestFileCallBack equivalent (train.py:17-34)
@@ -186,7 +191,8 @@ def main():
 
     if is_main:
         checkpoint.wait_for_saves()  # don't race the last epoch's async save
-        checkpoint.save_checkpoint(ckpt_dir, step, jax.device_get(state), config)
+        checkpoint.save_checkpoint(
+            ckpt_dir, step, exp.canonical_state(jax.device_get(state)), config)
         print(f"done at step {step}; checkpoints in {ckpt_dir}")
 
 
