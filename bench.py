@@ -214,6 +214,22 @@ def main():
         details["waveflow_synthesis_khz_b16"] = round(bench_waveflow_synthesis(), 1)
     except Exception as e:
         details["waveflow_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        # constant-memory headline: XLA peak temp at the reference's README
+        # table config (ch256, bs24; README.md:53-57 reports 4951 MB total)
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from memory_check import peak_temp_bytes
+        from constant_memory_waveglow_tpu.ops import set_default_precision
+        set_default_precision("highest")  # tools/memory_check.py default
+        temp, total = peak_temp_bytes(flows=12, channels=256, depth=8,
+                                      batch=24, segment=16000,
+                                      memory_efficient=True)
+        if temp is not None:
+            details["train_peak_temp_mb_ch256_bs24"] = round(temp / 2**20, 1)
+            details["train_peak_total_mb_ch256_bs24"] = round(total / 2**20, 1)
+    except Exception as e:
+        details["memcheck_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants
         try:
             details["synthesis_khz_b16_bf16"] = round(
