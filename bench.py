@@ -129,10 +129,13 @@ def _train_cfg(arch="WaveGlow", arch_args=None):
 
 
 def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
-                     cfg=None, n=10, with_flops=False):
+                     cfg=None, n=10, with_flops=False, compute_dtype=None):
     """audio-seconds/s/chip of the jitted train step (donated state chain).
 
-    Returns (audio_s_per_s, model_tflops_per_s or None)."""
+    ``compute_dtype='bfloat16'`` benches the AMP path (bf16 activations,
+    fp32 master params) — the training step is HBM-bandwidth-bound
+    (arithmetic intensity ~35 flop/byte), so halving activation bytes is
+    the dominant lever.  Returns (audio_s_per_s, model_tflops_per_s or None)."""
     from constant_memory_waveglow_tpu.ops import set_default_precision
     from constant_memory_waveglow_tpu.training import Experiment
 
@@ -141,7 +144,7 @@ def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
     state = exp.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment)) * 0.1
 
-    step = exp.make_train_step(donate=False)
+    step = exp.make_train_step(donate=False, compute_dtype=compute_dtype)
 
     def chained(s, b):
         new_state, m = step(s, b)
@@ -205,6 +208,10 @@ def main():
                     tflops * 1e12 / peak, 3)
         details["train_audio_s_per_s_b8_bf16pass"] = round(
             bench_train_step(precision="default")[0], 2)
+        # AMP: bf16 activations + fp32 master params (train.py --bf16-compute)
+        details["train_audio_s_per_s_b8_amp"] = round(
+            bench_train_step(precision="default",
+                             compute_dtype="bfloat16")[0], 2)
         # the reference's headline config is batch 24 (README.md:53-57)
         details["train_audio_s_per_s_b24"] = round(
             bench_train_step(batch=24, precision="high", n=6)[0], 2)
