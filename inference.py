@@ -57,6 +57,11 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
             lambda a: a.astype(dtype) if hasattr(a, "astype") else a, params)
         cond = cond.astype(dtype)
         y = y.astype(np.float32)
+    else:
+        # checkpoints exported with --bf16 store params half-size; upcast
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, params)
 
     model = exp.model
 

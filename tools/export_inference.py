@@ -23,6 +23,9 @@ def main():
     p.add_argument("ckpt", type=str)
     p.add_argument("out", type=str)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="store floating params in bfloat16 (half the bytes; "
+                        "inference.py upcasts to fp32 unless run with --bf16)")
     args = p.parse_args()
 
     import jax
@@ -40,8 +43,15 @@ def main():
     state = checkpoint.restore_checkpoint(
         args.ckpt, exp.canonical_state(exp.init_state(jax.random.PRNGKey(0))))
 
+    params = fuse_weight_norms(state["params"])
+    if args.bf16:
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
     lean = {
-        "params": fuse_weight_norms(state["params"]),
+        "params": params,
         "model_state": state["model_state"],
         "opt_state": None,
         "step": state["step"],
