@@ -80,6 +80,28 @@ def test_train_and_infer_cli(workspace):
     assert r.stdout.count("kHz") == 2
 
 
+def test_export_inference_bf16_cli(workspace):
+    """Lean inference export with bf16 param storage: half the bytes on disk,
+    loadable by inference.py both with and without --bf16 (fp32 path upcasts)."""
+    d, cfg_path, wavs = workspace
+    ckpt = str(d / "run" / "ckpt")
+    if not os.path.isdir(ckpt):
+        pytest.skip("train CLI test did not produce a checkpoint")
+    lean = str(d / "lean_bf16")
+    r = run(["tools/export_inference.py", ckpt, lean,
+             "--platform", "cpu", "--bf16"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "exported step" in r.stdout
+    out_wav = str(d / "out_lean.wav")
+    r = run(["inference.py", lean, str(wavs / "1.wav"), out_wav,
+             "-s", "0.7", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out_wav) and "Forward LL:" in r.stdout
+    r = run(["inference.py", lean, str(wavs / "1.wav"), str(d / "out_lb.wav"),
+             "-s", "0.7", "--platform", "cpu", "--bf16"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 # ------------------------------------------------------ all model families
 ARCHES = {
     "WaveFlow": {"type": "WaveFlow", "args": {
