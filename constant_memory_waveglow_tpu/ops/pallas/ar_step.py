@@ -56,13 +56,6 @@ def fused_ar_enabled() -> bool:
     return bool(_ENABLED)
 
 
-def _plain(w):
-    """Weight must be resolved (no weight-norm dicts) for the kernel."""
-    assert not isinstance(w, dict) or "v" not in w, (
-        "fused AR step needs resolved weights; call resolve/fuse first")
-    return w
-
-
 def pack_ar_weights(params, depth=8):
     """Pre-pack a WN2D param tree (weight-norm already resolved) for the
     kernel.  Returns a dict of plain arrays; do this once per flow, outside

@@ -60,7 +60,7 @@ def save_checkpoint(ckpt_dir, step, state: dict, config: dict = None,
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(path, "state"), state, force=True)
-    if config is not None:
+    if config is not None and jax.process_index() == 0:
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(config, f, indent=2)
 

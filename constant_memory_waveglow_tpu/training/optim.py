@@ -55,7 +55,9 @@ def cosine_annealing_lr(T_max, eta_min=0.0, **_):
     def factor(step, base_lr=None):
         import jax.numpy as jnp
 
-        cos = 0.5 * (1 + jnp.cos(jnp.pi * jnp.minimum(step, T_max) / T_max))
+        # torch's closed-form CosineAnnealingLR is periodic: past T_max the
+        # lr rises back from eta_min (no clamp), so resumed/long runs match
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * step / T_max))
         if base_lr:
             return (eta_min + (base_lr - eta_min) * cos) / base_lr
         return cos

@@ -42,7 +42,12 @@ def _listify(node):
     """Convert {'0': ..., '1': ...} dicts into ordered lists, recursively."""
     if isinstance(node, dict):
         if node and all(re.fullmatch(r"\d+", k) for k in node):
-            return [_listify(node[str(i)]) for i in range(len(node))]
+            # nn.Sequential indices can be sparse in the state_dict when some
+            # members are parameter-free (e.g. the reference WaveFlow upsampler
+            # Sequential(ReplicationPad1d, ConvTranspose1d, LeakyReLU) only
+            # stores index 1) — keep positions, fill gaps with {}
+            n = max(int(k) for k in node) + 1
+            return [_listify(node.get(str(i), {})) for i in range(n)]
         return {k: _listify(v) for k, v in node.items()}
     return node
 

@@ -18,7 +18,8 @@ import math
 import time
 
 
-def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
+def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None,
+         precision="default"):
     import jax
 
     if platform:
@@ -28,6 +29,13 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None):
 
     from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    from constant_memory_waveglow_tpu.ops import set_default_precision
+
+    # synthesis runs at 'default' matmul precision (bf16 MXU passes) unless
+    # overridden — the same numeric path bench.py measures; training keeps
+    # its own higher default (see train.py --precision)
+    set_default_precision(precision)
 
     from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
     from constant_memory_waveglow_tpu.training import Experiment, checkpoint
@@ -107,7 +115,11 @@ if __name__ == "__main__":
     parser.add_argument("-n", "--n-group", type=int, default=None)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--precision", type=str, default="default",
+                        choices=["default", "high", "highest"],
+                        help="matmul precision for synthesis (default: bf16 "
+                             "MXU passes, the path bench.py measures)")
     args = parser.parse_args()
 
     main(args.ckpt, args.infile, args.outfile, args.sigma, args.bf16,
-         args.n_group, args.platform)
+         args.n_group, args.platform, args.precision)

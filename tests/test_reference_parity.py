@@ -541,3 +541,53 @@ def test_torch_checkpoint_import_roundtrip(tmp_path):
         capture_output=True, text=True, cwd=repo, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "out.wav"))
+
+
+@pytest.mark.parametrize("arch", ["WaveFlow", "WSRGlow"])
+def test_torch_state_dict_import_sparse_sequential(arch):
+    """state_dict import for architectures whose nn.Sequential members are
+    partly parameter-free (WaveFlow's ReplicationPad/LeakyReLU around the
+    upsampler ConvTranspose, WSRGlow's MuLawEncoding before the embedding):
+    the dotted-key indices are sparse and the importer must keep positions."""
+    from constant_memory_waveglow_tpu.utils.torch_import import (
+        torch_state_dict_to_params)
+
+    rng = np.random.default_rng(41)
+    if arch == "WaveFlow":
+        from model.waveflow import WaveFlow as Ref
+
+        from constant_memory_waveglow_tpu.models import WaveFlow as Ours
+
+        kw = dict(flows=2, n_group=8, n_mels=20, use_conv1x1=False,
+                  memory_efficient=False, dilation_channels=16,
+                  residual_channels=16, skip_channels=16, bias=False)
+        torch.manual_seed(42)
+        ref = Ref(zero_init=False, **kw).eval()
+        ours = Ours(zero_init=False, **kw)
+        h = rng.standard_normal((2, 20, 16)).astype(np.float32)
+        x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    else:
+        from model.wsrglow import WSRGlow as Ref
+
+        from constant_memory_waveglow_tpu.models import WSRGlow as Ours
+
+        kw = dict(dilation_channels=16, residual_channels=16,
+                  skip_channels=16, depth=2, radix=3, bias=False)
+        torch.manual_seed(43)
+        ref = Ref(upsample_rate=2, memory_efficient=False,
+                  zero_init=False, **kw).eval()
+        ours = Ours(upsample_rate=2, memory_efficient=False,
+                    zero_init=False, **kw)
+        h = (rng.standard_normal((2, 512)).astype(np.float32) * 0.4
+             ).clip(-1, 1)
+        x = rng.standard_normal((2, 1024)).astype(np.float32) * 0.3
+
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, torch_state_dict_to_params(sd, arch))
+
+    with torch.no_grad():
+        z_ref, _ = ref.forward_computation(torch.from_numpy(x),
+                                           torch.from_numpy(h.copy()))
+    z, _ = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 2e-4

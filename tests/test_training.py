@@ -203,6 +203,23 @@ def test_lr_scheduler_changes_applied_lr():
     assert abs(float(exp.lr_schedule(2)) - TINY_CONFIG["optimizer"]["args"]["lr"] * 0.25) < 1e-12
 
 
+def test_cosine_annealing_matches_torch_closed_form():
+    """CosineAnnealingLR follows torch's closed form, including past T_max
+    where the cosine is periodic and the lr rises back from eta_min."""
+    import math
+
+    from constant_memory_waveglow_tpu.training.optim import build_lr_schedule
+
+    base, t_max, eta_min = 1e-3, 10, 1e-5
+    sched = build_lr_schedule(base, {"type": "CosineAnnealingLR",
+                                     "args": {"T_max": t_max,
+                                              "eta_min": eta_min}})
+    for step in [0, 3, 10, 13, 20, 27]:
+        torch_lr = eta_min + (base - eta_min) * (
+            1 + math.cos(math.pi * step / t_max)) / 2
+        assert abs(float(sched(step)) - torch_lr) < 1e-9, step
+
+
 def test_async_checkpoint_roundtrip(tmp_path):
     """Async save (background write) commits the same bytes as blocking save
     and auto-resume only sees committed checkpoints."""

@@ -57,10 +57,13 @@ def main():
     steps = np.array([m["step"] for m in metrics])
     loss = np.array([m["loss"] for m in metrics])
     k = max(1, len(loss) // 2000)
-    smooth = np.convolve(loss, np.ones(25) / 25, mode="valid")
+    win = 25 if len(loss) >= 50 else 1  # short runs: no smoothing window
+    smooth = np.convolve(loss, np.ones(win) / win, mode="valid")
+    off = (win - 1) // 2
     fig, ax = plt.subplots(figsize=(7, 3.5), dpi=120)
     ax.plot(steps[::k], loss[::k], lw=0.4, alpha=0.35, label="loss")
-    ax.plot(steps[12:-12][::k], smooth[::k], lw=1.4, label="loss (smoothed)")
+    ax.plot(steps[off:off + len(smooth)][::k], smooth[::k], lw=1.4,
+            label="loss (smoothed)")
     ax.set_xlabel("step"), ax.set_ylabel("WaveGlowLoss")
     ax.legend(), ax.grid(alpha=0.3)
     fig.tight_layout()

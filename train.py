@@ -96,11 +96,23 @@ def main():
     logger = MetricsLogger(logdir) if is_main else None
 
     # preemption recovery: auto-resume from the logdir's latest checkpoint
-    if (args.ckpt_path is None and not args.no_auto_resume
-            and checkpoint.latest_step(ckpt_dir) is not None):
-        args.ckpt_path = ckpt_dir
-        print(f"auto-resuming from {ckpt_dir} "
-              f"(step {checkpoint.latest_step(ckpt_dir)})")
+    if args.ckpt_path is None and not args.no_auto_resume:
+        latest = checkpoint.latest_step(ckpt_dir)
+        if jax.process_count() > 1:
+            # checkpoints require a shared filesystem across hosts; catch the
+            # silent-divergence case where ranks see different latest steps
+            from jax.experimental import multihost_utils
+
+            seen = multihost_utils.process_allgather(
+                np.int64(-1 if latest is None else latest))
+            if len(set(int(s) for s in seen)) > 1:
+                raise RuntimeError(
+                    f"processes disagree on the latest checkpoint step "
+                    f"({sorted(set(int(s) for s in seen))}); ckpt_dir must "
+                    f"be on a filesystem shared by all hosts")
+        if latest is not None:
+            args.ckpt_path = ckpt_dir
+            print(f"auto-resuming from {ckpt_dir} (step {latest})")
 
     exp = Experiment(config)
     key = jax.random.PRNGKey(args.seed)
@@ -173,26 +185,33 @@ def main():
             if args.max_steps and step >= args.max_steps:
                 break
 
+        # every process participates in the save: orbax's save runs a global
+        # barrier internally, so a rank-0-only call would deadlock multi-host
+        # runs; params are replicated, so device_get is process-local. async:
+        # device->host snapshot inline, disk write in background — the step
+        # loop of the next epoch is not blocked on I/O
+        checkpoint.save_checkpoint(
+            ckpt_dir, step, exp.canonical_state(jax.device_get(state)),
+            config, async_save=True)
         if is_main:
-            # async: device->host snapshot inline, disk write in background —
-            # the step loop of the next epoch is not blocked on I/O
-            checkpoint.save_checkpoint(
-                ckpt_dir, step, exp.canonical_state(jax.device_get(state)),
-                config, async_save=True)
             checkpoint.prune_checkpoints(ckpt_dir, keep=args.keep_ckpts)
 
-        if test_y is not None and is_main:  # TestFileCallBack equivalent (train.py:17-34)
+        if test_y is not None:  # TestFileCallBack equivalent (train.py:17-34)
+            # the jitted infer consumes globally-sharded state, so every
+            # process must launch it; only rank 0 writes the audio
             cond = exp.conditioner(np.asarray(test_y)[None])
             pred = exp.infer(state, cond, jax.random.PRNGKey(epoch), sigma=0.7)
-            logger.log_audio(step, "reconstruct_audio", np.asarray(pred), test_sr)
+            if is_main:
+                logger.log_audio(step, "reconstruct_audio", np.asarray(pred),
+                                 test_sr)
 
         if args.max_steps and step >= args.max_steps:
             break
 
+    checkpoint.wait_for_saves()  # don't race the last epoch's async save
+    checkpoint.save_checkpoint(
+        ckpt_dir, step, exp.canonical_state(jax.device_get(state)), config)
     if is_main:
-        checkpoint.wait_for_saves()  # don't race the last epoch's async save
-        checkpoint.save_checkpoint(
-            ckpt_dir, step, exp.canonical_state(jax.device_get(state)), config)
         print(f"done at step {step}; checkpoints in {ckpt_dir}")
 
 
