@@ -300,22 +300,34 @@ class WaveFlow(FlowBase):
 
             from ..ops.pallas import ar_step as _ar
 
-            use_fused = ((_ar.fused_ar_enabled() or _ar._INTERPRET)
-                         and _ar.ar_step_supported(wn, w, z.dtype)
-                         and "b" not in wn_params["V"])
-            if use_fused:
-                from ..ops.convs import get_default_precision
+            from ..ops.convs import get_default_precision
 
-                # DMA lane dim must be 128-aligned: run the kernel at padded
+            w_pad = ((w + 127) // 128) * 128
+            fast = get_default_precision() in (jax.lax.Precision.DEFAULT,)
+            fused_ok = ((_ar.fused_ar_enabled() or _ar._INTERPRET)
+                        and "b" not in wn_params["V"])
+            use_vmem = fused_ok and _ar.flow_vmem_supported(
+                wn, w_pad, g, z.dtype, fast)
+            use_fused = fused_ok and _ar.ar_step_supported(wn, w, z.dtype)
+            if use_vmem or use_fused:
+                # DMA/lane dim must be 128-aligned: run the kernel at padded
                 # width and slice the (zero-padded, conv-local) results back
-                w_pad = ((w + 127) // 128) * 128
                 packed = _ar.pack_ar_weights(wn_params)
                 cond_all = conv1x1(y, wn_weight(wn_params["V"]["w"]))
                 cond_all = jnp.pad(cond_all, [(0, 0), (0, 0), (0, w_pad - w)])
                 hds, ds = tuple(wn.h_dilations), tuple(wn.dilations)
-                fast = get_default_precision() in (jax.lax.Precision.DEFAULT,)
 
                 z_in = jnp.pad(z[:, 0], [(0, 0), (0, 0), (0, w_pad - w)])
+                if use_vmem:  # v2: VMEM-resident whole-flow kernel
+                    x_rows, log_rows = _ar.fused_ar_flow_vmem(
+                        packed, z_in, cond_all, h_dilations=hds,
+                        dilations=ds, residual=wn.residual_channels,
+                        skip=wn.skip_channels, interpret=_ar._INTERPRET,
+                        fast=fast)
+                    logdet = logdet - log_rows[..., :w].sum((1, 2))
+                    z = jnp.concatenate(
+                        [z[:, :, :1], x_rows[:, None, 1:, :w]], 2)
+                    continue
                 x_rows, log_rows = _ar.fused_ar_flow(
                     packed, z_in[:, :, None, :], cond_all, h_dilations=hds,
                     dilations=ds, residual=wn.residual_channels,

@@ -218,6 +218,168 @@ def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
     return out[:, 0], out[:, 1], tuple(new_rings)
 
 
+def flow_vmem_bytes(h_dilations, residual, d2, w_len, g, fast):
+    """Rough per-program VMEM footprint of :func:`fused_ar_flow_vmem`."""
+    item = 2 if fast else 4
+    rings = sum(2 * hd + 1 for hd in h_dilations) * residual * w_len * item
+    cond = d2 * len(h_dilations) * w_len * item
+    taps = 9 * residual * w_len * item
+    blocks = 2 * (3 * g * w_len * 4)  # z/x/logs blocks, double-buffered fp32
+    return rings + cond + taps + blocks
+
+
+def flow_vmem_supported(wn, w_len, g, dtype, fast) -> bool:
+    """Whether the VMEM-resident whole-flow kernel can run this config."""
+    d2 = 2 * wn.dilation_channels
+    return (fast
+            and wn.bias is False
+            and dtype in (jnp.float32, jnp.bfloat16)
+            and flow_vmem_bytes(tuple(wn.h_dilations), wn.residual_channels,
+                                d2, w_len, g, fast) < 90 * 2**20)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_dilations", "dilations", "residual", "skip",
+                     "interpret", "fast"))
+def fused_ar_flow_vmem(packed, z, cond_all, *, h_dilations, dilations,
+                       residual, skip, interpret=False, fast=True):
+    """Whole-flow AR inverse with ALL state resident in VMEM (no inner DMA).
+
+    v2 of :func:`fused_ar_flow`: the v1 kernel keeps rings + cond in HBM and
+    issues 4 synchronous DMAs per layer-step (~32 waits per generated row),
+    which stalls the MXU — measured ~18% utilization.  Here the per-batch
+    working set fits VMEM outright (guarded by :func:`flow_vmem_supported`):
+
+    * all per-layer rings live in ONE flat VMEM scratch ``[sum(2hd+1), C, W]``
+      with static per-layer bases — tap reads/row writes are plain dynamic
+      slices on the untiled leading dim;
+    * the conditioning projection ``V(y)`` comes in as a per-program VMEM
+      block (cast to bf16 outside when ``fast``), so it is read from HBM
+      once per flow instead of once per layer-step;
+    * z rows are read and x/log_s rows written directly in VMEM output
+      blocks (dynamic sublane indexing), no staging copies or semaphores.
+
+    z: [B, G, W]; cond_all: [B, 2D*depth, W] (same dtype rules as v1; cast
+    to bf16 by the caller when ``fast`` to halve VMEM).  W must be
+    128-aligned.  Returns (x_rows [B, G, W] with row 0 = z row 0,
+    log_s_rows [B, G-1, W]).
+    """
+    depth = len(h_dilations)
+    b, g, w_len = z.shape
+    assert w_len % 128 == 0, "pad W to a lane multiple outside"
+    r = residual
+    d2 = packed["wt"].shape[3]
+    d_half = d2 // 2
+    dtype = z.dtype
+    op_dtype = jnp.bfloat16 if fast else jnp.float32
+    dot_prec = None if fast else lax.Precision.HIGHEST
+
+    def dot(a, bmat):
+        return lax.dot_general(
+            a.astype(op_dtype), bmat.astype(op_dtype if fast else jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_prec)
+
+    n_rings = [2 * hd + 1 for hd in h_dilations]
+    bases = [0]
+    for n in n_rings:
+        bases.append(bases[-1] + n)
+    r_total = bases[-1]
+
+    def kernel(z_ref, cond_ref, wt9_ref, wom_ref, wol_ref, wst_ref, wend_ref,
+               x_ref, logs_ref, ring_s, taps_s):
+        # zero the rings one row at a time — a whole-array assignment would
+        # materialize the full [R, C, W] zeros as a scoped-VMEM temporary
+        zrow = jnp.zeros((1, r, w_len), ring_s.dtype)
+
+        def zero_row(j, _):
+            ring_s[pl.ds(j, 1)] = zrow
+            return 0
+
+        lax.fori_loop(0, r_total, zero_row, 0)
+        x_ref[0, 0] = z_ref[0, 0]  # row 0 passes through untransformed
+
+        def body(s, x_row):
+            x = wst_ref[:, :1].astype(jnp.float32) * x_row  # [r, W] start conv
+            cum_skip = jnp.zeros((skip, w_len), jnp.float32)
+            for i in range(depth):
+                n = n_rings[i]
+                hd = h_dilations[i]
+                pos = lax.rem(s, n)
+                tap0 = lax.rem(pos + 1, n)
+                tap1 = lax.rem(pos + hd + 1, n)
+                # commit the fresh residual row, then read the two old taps
+                # (tap indices never equal pos for hd >= 1)
+                ring_s[pl.ds(bases[i] + pos, 1)] = x.astype(op_dtype)[None]
+                t0 = ring_s[pl.ds(bases[i] + tap0, 1)][0].astype(jnp.float32)
+                t1 = ring_s[pl.ds(bases[i] + tap1, 1)][0].astype(jnp.float32)
+
+                d = dilations[i]
+                rows = (t0, t1, x)
+                # stage the 9 shifted taps so the conv is one K=9C MXU dot
+                for h in range(3):
+                    row_p = jnp.pad(rows[h], [(0, 0), (d, d)])
+                    for k in range(3):
+                        taps_s[pl.ds((h * 3 + k) * r, r)] = (
+                            row_p[:, k * d : k * d + w_len].astype(op_dtype))
+                xy = (dot(wt9_ref[i], taps_s[:].astype(jnp.float32))
+                      + cond_ref[0, pl.ds(i * d2, d2)].astype(jnp.float32))
+                gate = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
+                if i == depth - 1:
+                    cum_skip = cum_skip + dot(wol_ref[:], gate)
+                else:
+                    out = dot(wom_ref[i], gate)
+                    x = x + out[:r]
+                    cum_skip = cum_skip + out[r:]
+
+            res = dot(wend_ref[:], cum_skip)  # [2, W] = (log_s, t)
+            z_next = z_ref[0, s + 1].astype(jnp.float32)[None]
+            x_new = (z_next - res[1:2]) * jnp.exp(-res[0:1])
+            logs_ref[0, s] = res[0].astype(dtype)
+            x_ref[0, s + 1] = x_new[0].astype(dtype)
+            return x_new
+
+        lax.fori_loop(0, g - 1, body, z_ref[0, 0].astype(jnp.float32)[None])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, g, w_len), lambda bi: (bi, 0, 0)),  # z
+            pl.BlockSpec((1, depth * d2, w_len), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt9
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo_mid
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo_last
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_start
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_end
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, w_len), lambda bi: (bi, 0, 0)),  # x rows
+            pl.BlockSpec((1, g - 1, w_len), lambda bi: (bi, 0, 0)),  # log_s
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_total, r, w_len), op_dtype),  # flat rings
+            pltpu.VMEM((9 * r, w_len), op_dtype),  # stacked conv taps
+        ],
+    )
+
+    wt9 = packed["wt9"].astype(op_dtype)
+    cond_all = cond_all.astype(op_dtype if fast else cond_all.dtype)
+    x_rows, log_rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, g, w_len), dtype),
+                   jax.ShapeDtypeStruct((b, g - 1, w_len), dtype)],
+        # scratch (rings) exceeds the 16 MiB default scoped-VMEM limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(z, cond_all, wt9, packed["wo_mid"], packed["wo_last"],
+      packed["w_start"], packed["w_end"])
+    return x_rows, log_rows
+
+
 def init_rings(batch, residual, h_dilations, width, dtype):
     """Zero ring buffers in the kernel's [B, rows, C, W] layout."""
     return tuple(jnp.zeros((batch, 2 * hd + 1, residual, width), dtype)

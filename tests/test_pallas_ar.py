@@ -50,6 +50,73 @@ def test_fused_ar_step_matches_xla(n_group):
         x_row = (x_row * 0.7 + t_ref * 0.1) * jnp.exp(-log_s_ref * 0.1)
 
 
+@pytest.mark.parametrize("n_group", [8, 64])
+@pytest.mark.parametrize("fast", [False, True])
+def test_fused_ar_flow_vmem_matches_v1(n_group, fast):
+    """v2 (VMEM-resident) whole-flow kernel == v1 (HBM rings + DMA) kernel,
+    interpret mode, identical op order/dtypes -> tight tolerance."""
+    from constant_memory_waveglow_tpu.ops.pallas.ar_step import (
+        fused_ar_flow, fused_ar_flow_vmem)
+
+    b, w_len, ch = 2, 128, 8
+    g = n_group
+    wn = WN2D(g, 6, dilation_channels=ch, residual_channels=ch,
+              skip_channels=ch, bias=False, zero_init=False)
+    params = fuse_weight_norms(wn.init(jax.random.PRNGKey(0)))
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, 6, w_len))
+    cond_all = conv1x1(y, wn_weight(params["V"]["w"]))
+    packed = pack_ar_weights(params)
+    z = jax.random.normal(jax.random.PRNGKey(3), (b, g, w_len)) * 0.5
+
+    kw = dict(h_dilations=tuple(wn.h_dilations), dilations=tuple(wn.dilations),
+              residual=ch, skip=ch, interpret=True, fast=fast)
+    x1, l1 = fused_ar_flow(packed, z[:, :, None, :], cond_all, **kw)
+    x2, l2 = fused_ar_flow_vmem(packed, z, cond_all, **kw)
+    # fast: v2 additionally stores rings/cond in bf16 (v1 keeps them fp32 and
+    # casts at the dot) -> differences at bf16 rounding scale only
+    tol = dict(atol=3e-2, rtol=3e-2) if fast else dict(atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(x2[:, 1:], x1[:, 1:, 0], **tol)
+    np.testing.assert_allclose(l2, l1[:, :, 0], **tol)
+    np.testing.assert_allclose(x2[:, 0], z[:, 0], atol=0)  # passthrough row
+
+
+def test_waveflow_reverse_with_fused_vmem_kernel():
+    """Whole-model AR inverse through the v2 dispatch (DEFAULT precision ->
+    fast=True, bf16 MXU ops) vs the fp32 XLA scan: loose bf16 tolerance."""
+    from constant_memory_waveglow_tpu.ops.pallas import ar_step as mod
+    from constant_memory_waveglow_tpu.ops.convs import (
+        get_default_precision, set_default_precision)
+
+    kw = dict(flows=2, n_group=8, n_mels=10, use_conv1x1=False,
+              memory_efficient=False, dilation_channels=8,
+              residual_channels=8, skip_channels=8, bias=False,
+              zero_init=False)
+    model = WaveFlow(**kw)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1024)) * 0.3
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 4))
+
+    z, _ = model.forward_computation(params, x, h)
+    x_ref, ld_ref = model.reverse_computation(params, z, h)
+
+    prev, prev_prec = mod._ENABLED, get_default_precision()
+    mod.set_fused_ar_enabled(True)
+    mod._INTERPRET = True
+    set_default_precision("default")
+    try:
+        # sanity: this config must route to the v2 kernel
+        wn = model.WNs[0]
+        assert mod.flow_vmem_supported(wn, 128, 8, z.dtype, True)
+        x_fused, ld_fused = model.reverse_computation(params, z, h)
+    finally:
+        mod.set_fused_ar_enabled(prev)
+        mod._INTERPRET = False
+        set_default_precision(prev_prec)
+    np.testing.assert_allclose(x_fused, x_ref, atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(ld_fused, ld_ref, atol=0.05 * abs(ld_ref).max(),
+                               rtol=0.05)
+
+
 def test_waveflow_reverse_with_fused_kernel():
     """Whole-model AR inverse, kernel forced on (interpret) == XLA scan."""
     from constant_memory_waveglow_tpu.ops.pallas import ar_step as mod
