@@ -80,6 +80,23 @@ def test_train_and_infer_cli(workspace):
     assert r.stdout.count("kHz") == 2
 
 
+def test_train_cli_amp(workspace):
+    """The recommended fast path (--precision default --bf16-compute: bf16
+    activations, fp32 master params) trains end-to-end with finite,
+    decreasing loss."""
+    d, cfg_path, _ = workspace
+    logdir = str(d / "run_amp")
+    r = run(["train.py", "--config", str(cfg_path), "--platform", "cpu",
+             "--max-epochs", "1", "--logdir", logdir,
+             "--precision", "default", "--bf16-compute"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = [json.loads(l) for l in
+               open(os.path.join(logdir, "metrics.jsonl"))]
+    losses = [m["loss"] for m in metrics]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_export_inference_bf16_cli(workspace):
     """Lean inference export with bf16 param storage: half the bytes on disk,
     loadable by inference.py both with and without --bf16 (fp32 path upcasts)."""
