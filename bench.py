@@ -215,6 +215,9 @@ def main():
         # the reference's headline config is batch 24 (README.md:53-57)
         details["train_audio_s_per_s_b24"] = round(
             bench_train_step(batch=24, precision="high", n=6)[0], 2)
+        details["train_audio_s_per_s_b24_amp"] = round(
+            bench_train_step(batch=24, precision="default",
+                             compute_dtype="bfloat16", n=6)[0], 2)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
     try:

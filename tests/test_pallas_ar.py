@@ -80,6 +80,33 @@ def test_fused_ar_flow_vmem_matches_v1(n_group, fast):
     np.testing.assert_allclose(x2[:, 0], z[:, 0], atol=0)  # passthrough row
 
 
+def test_fused_ar_flow_vmem_bf16_io(n_group=8):
+    """bf16 z/cond (the inference --bf16 path): runs, returns bf16, and
+    tracks the fp32-input result at bf16 tolerance."""
+    from constant_memory_waveglow_tpu.ops.pallas.ar_step import (
+        fused_ar_flow_vmem)
+
+    b, w_len, ch = 1, 128, 8
+    wn = WN2D(n_group, 6, dilation_channels=ch, residual_channels=ch,
+              skip_channels=ch, bias=False, zero_init=False)
+    params = fuse_weight_norms(wn.init(jax.random.PRNGKey(0)))
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, 6, w_len))
+    cond_all = conv1x1(y, wn_weight(params["V"]["w"]))
+    packed = pack_ar_weights(params)
+    z = jax.random.normal(jax.random.PRNGKey(3), (b, n_group, w_len)) * 0.5
+
+    kw = dict(h_dilations=tuple(wn.h_dilations), dilations=tuple(wn.dilations),
+              residual=ch, skip=ch, interpret=True, fast=True)
+    x32, l32 = fused_ar_flow_vmem(packed, z, cond_all, **kw)
+    x16, l16 = fused_ar_flow_vmem(packed, z.astype(jnp.bfloat16),
+                                  cond_all.astype(jnp.bfloat16), **kw)
+    assert x16.dtype == jnp.bfloat16 and l16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(x16.astype(jnp.float32), x32, atol=5e-2,
+                               rtol=5e-2)
+    np.testing.assert_allclose(l16.astype(jnp.float32), l32, atol=5e-2,
+                               rtol=5e-2)
+
+
 def test_waveflow_reverse_with_fused_vmem_kernel():
     """Whole-model AR inverse through the v2 dispatch (DEFAULT precision ->
     fast=True, bf16 MXU ops) vs the fp32 XLA scan: loose bf16 tolerance."""
