@@ -528,7 +528,7 @@ def test_torch_checkpoint_import_roundtrip(tmp_path):
     r = subprocess.run(
         [_sys.executable, os.path.join(repo, "tools", "import_torch_ckpt.py"),
          ckpt_file, out_dir], capture_output=True, text=True, cwd=repo,
-        timeout=300)
+        timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
 
     from constant_memory_waveglow_tpu.utils.audio import save_wav
@@ -538,7 +538,7 @@ def test_torch_checkpoint_import_roundtrip(tmp_path):
     r = subprocess.run(
         [_sys.executable, os.path.join(repo, "inference.py"), out_dir, wav,
          str(tmp_path / "out.wav"), "--platform", "cpu"],
-        capture_output=True, text=True, cwd=repo, timeout=420)
+        capture_output=True, text=True, cwd=repo, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "out.wav"))
 
