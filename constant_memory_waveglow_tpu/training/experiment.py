@@ -60,9 +60,11 @@ class Experiment:
         self.conditioner = build_conditioner(config["conditioner"])
         self.criterion = get_instance(LOSS_REGISTRY, config["loss"])
         # optional torch-named lr_scheduler block (legacy schema carries one,
-        # configs/musicnet_config.json) — lr becomes a per-step schedule
+        # configs/musicnet_config.json) — lr becomes a per-step schedule;
+        # optional top-level "grad_clip" = global-norm gradient clipping
         self.optimizer = build_optimizer(config["optimizer"],
-                                         config.get("lr_scheduler"))
+                                         config.get("lr_scheduler"),
+                                         config.get("grad_clip"))
         self.lr_schedule = build_lr_schedule(
             config["optimizer"].get("args", {}).get("lr", 1e-3),
             config.get("lr_scheduler"))

@@ -107,10 +107,12 @@ def sgd(lr, momentum=0.0, weight_decay=0.0, nesterov=False, **_):
     return optax.chain(*chain)
 
 
-def build_optimizer(config, scheduler_config=None):
+def build_optimizer(config, scheduler_config=None, grad_clip=None):
     """Build the optax optimizer; with a scheduler config the ``lr`` argument
     becomes a per-step schedule (optax accepts callables wherever a fixed
-    learning rate is accepted)."""
+    learning rate is accepted).  ``grad_clip`` prepends global-norm gradient
+    clipping (the Lightning ``gradient_clip_val`` analog — optional here as
+    there; flow losses occasionally spike on small datasets)."""
     from ..utils.config import get_instance
 
     if scheduler_config:
@@ -118,4 +120,7 @@ def build_optimizer(config, scheduler_config=None):
         args = dict(config.get("args", {}))
         args["lr"] = build_lr_schedule(args.get("lr", 1e-3), scheduler_config)
         config["args"] = args
-    return get_instance(OPTIMIZER_REGISTRY, config)
+    opt = get_instance(OPTIMIZER_REGISTRY, config)
+    if grad_clip:
+        opt = optax.chain(optax.clip_by_global_norm(float(grad_clip)), opt)
+    return opt

@@ -203,6 +203,33 @@ def test_lr_scheduler_changes_applied_lr():
     assert abs(float(exp.lr_schedule(2)) - TINY_CONFIG["optimizer"]["args"]["lr"] * 0.25) < 1e-12
 
 
+def test_grad_clip_bounds_update_norm():
+    """Optional global-norm gradient clipping (Lightning gradient_clip_val
+    analog): huge gradients produce updates bounded by clip * lr with SGD,
+    untouched when under the threshold; Experiment reads config.grad_clip."""
+    from constant_memory_waveglow_tpu.training.optim import build_optimizer
+
+    opt = build_optimizer({"type": "SGD", "args": {"lr": 1.0}},
+                          grad_clip=2.0)
+    params = {"w": jnp.ones(4)}
+    st = opt.init(params)
+    g = {"w": jnp.full(4, 100.0)}  # global norm 200 -> clipped to 2
+    up, st = opt.update(g, st, params)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(up["w"])), 2.0, rtol=1e-5)
+    g_small = {"w": jnp.full(4, 0.5)}  # norm 1 < 2 -> pass through
+    up, st = opt.update(g_small, st, params)
+    np.testing.assert_allclose(np.asarray(up["w"]), -0.5 * np.ones(4),
+                               rtol=1e-6)
+
+    exp = Experiment(dict(TINY_CONFIG, grad_clip=2.0))
+    state = exp.init_state(jax.random.PRNGKey(0))
+    step = exp.make_train_step(donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+    _, metrics = step(state, x)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_cosine_annealing_matches_torch_closed_form():
     """CosineAnnealingLR follows torch's closed form, including past T_max
     where the cosine is periodic and the lr rises back from eta_min."""

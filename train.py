@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--test-file", type=str, help="wav reconstructed to TB each epoch")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--lr", type=float, default=None, help="force learning rate")
+    parser.add_argument("--grad-clip", type=float, default=None,
+                        help="global-norm gradient clipping (Lightning "
+                             "gradient_clip_val analog)")
     parser.add_argument("--max-epochs", type=int, default=100)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--logdir", type=str, default=None)
@@ -87,6 +90,9 @@ def main():
     if args.lr is not None:  # ChangeLRCallback equivalent (train.py:37-45)
         config = copy.deepcopy(config)
         config["optimizer"]["args"]["lr"] = args.lr
+    if args.grad_clip is not None:  # Lightning gradient_clip_val analog
+        config = copy.deepcopy(config)
+        config["grad_clip"] = args.grad_clip
 
     name = config.get("name", "experiment").replace(" ", "_")
     logdir = args.logdir or os.path.join("runs", name)
