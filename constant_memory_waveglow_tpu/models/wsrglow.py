@@ -42,7 +42,13 @@ class WSRGlow(WaveGlow):
     def _get_cond(self, params, c):
         """c: low-rate waveform [B, T_low] -> [B, 3659, T_low/8]
         (reference ``model/wsrglow.py:37-50``)."""
-        c = jnp.clip(c, -1.0, 1.0)
+        # Quantization (mu-law codes, phase bins) and the STFT run in fp32
+        # even under bf16 AMP: bf16's 8-bit mantissa cannot resolve 256
+        # mu-law levels, and jnp.abs(complex64) is fp32 anyway.  The
+        # conditioner is emitted in the params' compute dtype so the flow
+        # stack (and _upsample_h's conv) sees uniform dtypes.
+        out_dtype = params["mu_embed"].dtype
+        c = jnp.clip(c.astype(jnp.float32), -1.0, 1.0)
         b, t_low = c.shape
         codes = mu_law_encode(c, 256)  # [B, T_low]
         c_emb = params["mu_embed"][codes]  # [B, T_low, 400]
@@ -50,7 +56,7 @@ class WSRGlow(WaveGlow):
 
         cp = jnp.pad(c, [(0, 0), (4, 4)], mode="reflect")
         spec = stft_no_center(cp, self.n_fft, self.stft_hop, self.window)  # [B, 9, F]
-        mag = jnp.abs(spec)
+        mag = jnp.abs(spec).astype(out_dtype)
         angle = jnp.angle(spec)
         idx = ((angle / jnp.pi + 1.0) * 0.5 * (self.angle_bins - 1)).astype(jnp.int32)
         phase_emb = params["angle_embed"][idx]  # [B, 9, F, 50]

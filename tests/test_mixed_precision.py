@@ -20,6 +20,36 @@ CFG = {
 }
 
 
+WSR_CFG = {
+    "arch": {"type": "WSRGlow", "args": {
+        "upsample_rate": 2, "memory_efficient": True,
+        "dilation_channels": 8, "residual_channels": 8, "skip_channels": 8,
+        "depth": 1, "radix": 3, "bias": False}},
+    "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+    "loss": {"type": "WaveGlowLoss", "args": {"sigma": 1.0, "elementwise_mean": True}},
+    "conditioner": {"type": "STFTDecimate", "args": {"r": 2}},
+}
+
+
+def test_bf16_compute_step_wsrglow():
+    """Regression: under bf16 compute, WSRGlow's conditioner must emit a
+    uniform dtype (the STFT magnitude is fp32 from complex64 while the
+    embedding gathers follow the cast params; the fp32-promoted concat used
+    to collide with the bf16 upsampler weights in conv_general_dilated),
+    and mu-law / phase quantization must run in fp32 (bf16's mantissa can't
+    resolve 256 levels)."""
+    exp = Experiment(WSR_CFG)
+    s0 = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 2048),
+                           minval=-0.5, maxval=0.5)
+    s_fp, m_fp = exp.make_train_step(donate=False)(s0, x)
+    s_bf, m_bf = exp.make_train_step(donate=False,
+                                     compute_dtype="bfloat16")(s0, x)
+    assert jnp.isfinite(m_bf["loss"])
+    assert abs(float(m_fp["loss"]) - float(m_bf["loss"])) < 0.2
+    assert all(l.dtype == jnp.float32 for l in tu.tree_leaves(s_bf["params"]))
+
+
 def test_bf16_compute_step():
     exp = Experiment(CFG)
     s0 = exp.init_state(jax.random.PRNGKey(0))
