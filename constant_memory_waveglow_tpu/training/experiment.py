@@ -56,6 +56,7 @@ class Experiment:
 
         config = normalize_config(config)
         self.config = config
+        self._jit_infer = None
         self.model = build_model(config["arch"])
         self.conditioner = build_conditioner(config["conditioner"])
         self.criterion = get_instance(LOSS_REGISTRY, config["loss"])
@@ -172,8 +173,18 @@ class Experiment:
 
     # ---------------------------------------------------------------- helpers
     def infer(self, state, h, key, sigma=1.0):
+        """Jit-compiled reverse-pass synthesis (TestFileCallBack analog).
+
+        Compiled once per ``h`` shape and reused every epoch; sigma is a
+        traced scalar so changing it does not retrigger compilation.  Eager
+        dispatch here costs minutes per epoch on a remote-op runtime (one
+        round-trip per op through the unrolled flow stack).
+        """
+        if self._jit_infer is None:
+            self._jit_infer = jax.jit(
+                lambda p, hh, k, s: self.model.infer(p, hh, k, s))
         params = self._infer_params(state)
-        return self.model.infer(params, h, key, sigma)
+        return self._jit_infer(params, h, key, jnp.float32(sigma))
 
     def _infer_params(self, state):
         if self.model.has_state:

@@ -160,6 +160,9 @@ def main():
     test_y = None
     if args.test_file:
         test_y, test_sr = load_wav(args.test_file)
+        # conditioner of the fixed test wav never changes — compute once,
+        # jitted, rather than eagerly per epoch (remote-op dispatch is slow)
+        test_cond = jax.jit(exp.conditioner)(np.asarray(test_y)[None])
 
     step = int(state["step"])
     t0 = time.time()
@@ -205,8 +208,8 @@ def main():
         if test_y is not None:  # TestFileCallBack equivalent (train.py:17-34)
             # the jitted infer consumes globally-sharded state, so every
             # process must launch it; only rank 0 writes the audio
-            cond = exp.conditioner(np.asarray(test_y)[None])
-            pred = exp.infer(state, cond, jax.random.PRNGKey(epoch), sigma=0.7)
+            pred = exp.infer(state, test_cond, jax.random.PRNGKey(epoch),
+                             sigma=0.7)
             if is_main:
                 logger.log_audio(step, "reconstruct_audio", np.asarray(pred),
                                  test_sr)
