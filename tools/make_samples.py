@@ -24,6 +24,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# assembling evidence must never touch (or wait on) the TPU — the trainer
+# may still hold the chip; everything here is host-side work
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     p = argparse.ArgumentParser()
