@@ -262,3 +262,24 @@ def test_async_checkpoint_roundtrip(tmp_path):
                                   - np.asarray(b, np.float64)).max()),
         state, restored)))
     assert err == 0.0
+
+
+def test_infer_jit_compiles_once():
+    """The per-epoch TestFileCallBack reconstruction must not retrace or
+    re-dispatch eagerly each epoch (regression: eager reverse passes cost
+    minutes per epoch on a remote-op runtime)."""
+    exp = Experiment(TINY_CONFIG)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    calls = {"n": 0}
+    orig = exp.model.infer
+
+    def counting_infer(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    exp.model.infer = counting_infer
+    h = exp.conditioner(np.zeros((1, 4096), np.float32))
+    y1 = exp.infer(state, h, jax.random.PRNGKey(1), sigma=0.7)
+    y2 = exp.infer(state, h, jax.random.PRNGKey(2), sigma=0.9)
+    assert calls["n"] == 1  # traced once; second call (new key+sigma) cached
+    assert y1.shape == y2.shape and bool(jnp.isfinite(y1).all())
