@@ -186,8 +186,35 @@ def bench_waveflow_synthesis(batch=16, seconds=10.0, sr=22050, hop=256):
     return batch * frames * hop / dt / 1000.0
 
 
+def _backend_alive(timeout_s=180):
+    """Probe backend init in a disposable subprocess.
+
+    The remote-TPU tunnel can die in a way that makes ``jax.devices()``
+    block forever inside C++ backend setup; probing in a child process
+    (killable by timeout) lets the bench fail fast with a well-formed JSON
+    line instead of hanging its caller.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import os
+
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "waveglow_synthesis", "value": 0.0, "unit": "kHz",
+            "vs_baseline": 0.0,
+            "details": {"error": "backend init unavailable or hung "
+                                 "(probe subprocess timed out)"},
+        }))
+        return 1
 
     from constant_memory_waveglow_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
