@@ -48,6 +48,13 @@ def main():
                         help="capture a jax.profiler trace of N steps")
     parser.add_argument("--debug-nans", action="store_true",
                         help="trap NaNs (the detect_anomaly analog)")
+    parser.add_argument("--hang-timeout", type=float, default=0,
+                        help="seconds without a completed step before the "
+                             "process dumps stacks and exits 42 (wedged-"
+                             "runtime detector; pair with auto-resume). "
+                             "Must exceed the worst epoch-boundary cost "
+                             "(checkpoint + first reconstruction compile). "
+                             "0 = off")
     parser.add_argument("--no-auto-resume", action="store_true",
                         help="do not auto-resume from the logdir's latest ckpt")
     parser.add_argument("--bf16-compute", action="store_true",
@@ -167,6 +174,10 @@ def main():
     step = int(state["step"])
     t0 = time.time()
     profiling = False
+    watchdog = None
+    if args.hang_timeout:
+        from constant_memory_waveglow_tpu.utils.watchdog import HangWatchdog
+        watchdog = HangWatchdog(args.hang_timeout).start()
     for epoch in range(args.max_epochs):
         for batch in loader.epoch(epoch):
             if args.profile_steps and step == 2 and not profiling:
@@ -181,6 +192,8 @@ def main():
                 profiling = False
                 print(f"profile trace written to {logdir}/profile")
             metrics = {k: float(v) for k, v in metrics.items()}
+            if watchdog is not None:  # the float() fetches above prove the
+                watchdog.beat()       # device actually finished this step
             # lr actually applied this step (schedule evaluated at the optax
             # update count, which was step-1 before the increment)
             metrics["lr"] = float(exp.lr_schedule(step - 1))
@@ -213,10 +226,15 @@ def main():
             if is_main:
                 logger.log_audio(step, "reconstruct_audio", np.asarray(pred),
                                  test_sr)
+            if watchdog is not None:
+                watchdog.beat()  # epoch-boundary work (ckpt + reconstruction
+                # compile on the first epoch) can legitimately take minutes
 
         if args.max_steps and step >= args.max_steps:
             break
 
+    if watchdog is not None:
+        watchdog.stop()  # final save/export below may exceed the step budget
     checkpoint.wait_for_saves()  # don't race the last epoch's async save
     checkpoint.save_checkpoint(
         ckpt_dir, step, exp.canonical_state(jax.device_get(state)), config)
