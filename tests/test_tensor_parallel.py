@@ -95,3 +95,27 @@ def test_tp_flagship_width_with_early_outputs():
         jax.device_get(step(state0, batch)[0]["params"]),
         jax.device_get(state_tp["params"]))))
     assert err < 2e-5, err
+
+
+def test_tp_with_bf16_compute_matches_single_device():
+    """TP sharding composed with the AMP path (bf16 activations, fp32
+    master params): the model-sharded step must agree with the unsharded
+    bf16-compute step bit-for-bit up to reduction order."""
+    assert jax.device_count() >= 8
+    exp = Experiment(CONFIG)
+    state0 = exp.init_state(jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (4, 4096)) * 0.1
+    step = exp.make_train_step(donate=False, compute_dtype="bfloat16")
+
+    _, m_ref = step(state0, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    params = shard_params_tp(mesh, state["params"])
+    state = dict(state, params=params, opt_state=exp.optimizer.init(params))
+    state_tp, m_tp = step(state, jax.device_put(batch, batch_sharding(mesh)))
+
+    # bf16 reductions reorder across shards — tolerance reflects bf16 eps
+    assert abs(float(m_ref["loss"]) - float(m_tp["loss"])) < 5e-3
+    assert all(l.dtype == jnp.float32
+               for l in tu.tree_leaves(state_tp["params"]))
