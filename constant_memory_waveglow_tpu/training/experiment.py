@@ -105,7 +105,9 @@ class Experiment:
             return state
         return _map_param_trees(
             state,
-            lambda d: "invconv1x1" in d and "upsampler" in d,
+            # canonical param roots: WaveGlow-family {upsampler, invconv1x1,
+            # WNs}; WaveFlow {upsampler, WNs[, invconv1x1]}
+            lambda d: "upsampler" in d and ("WNs" in d or "invconv1x1" in d),
             m.stack_param_layout)
 
     # ------------------------------------------------------------------- step

@@ -140,3 +140,86 @@ def test_registry_builds_all_configs(cfg):
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), cfg)
     model = build_model(load_config(path)["arch"])
     assert hasattr(model, "forward_computation")
+
+
+def _residual_bytes(loss_fn, *args):
+    from jax._src.ad_checkpoint import saved_residuals
+    res = saved_residuals(loss_fn, *args)
+    return sum(int(np.prod(v.shape)) * v.dtype.itemsize for v, _ in res)
+
+
+@pytest.mark.parametrize("family", ["WaveFlow", "MelGlow"])
+def test_constant_memory_residuals_other_families(family):
+    """The constant-memory property must hold for every family, not just
+    WaveGlow: efficient-mode residual bytes grow far slower in flow count
+    than naive autodiff (the freed-storage analog of the reference's
+    ``efficient_modules.py`` applied to all models)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4096)) * 0.1
+
+    def build(flows, eff):
+        if family == "WaveFlow":
+            m = WaveFlow(flows=flows, n_group=8, n_mels=80, use_conv1x1=True,
+                         memory_efficient=eff, dilation_channels=16,
+                         residual_channels=16, skip_channels=16)
+            h = jax.random.normal(jax.random.PRNGKey(2), (1, 80, 16))
+        else:
+            m = MelGlow(flows=flows, n_group=8, n_early_every=100,
+                        n_early_size=2, hop_size=256, n_mels=80,
+                        memory_efficient=eff, dilation_channels=16,
+                        residual_channels=16, skip_channels=16, depth=2,
+                        radix=3, predict_channels=8, predict_layers=1,
+                        bias=False)
+            h = jax.random.normal(jax.random.PRNGKey(2), (1, 80, 16))
+        return m, h
+
+    growth = {}
+    for eff in [False, True]:
+        sizes = []
+        for flows in [2, 6]:
+            m, h = build(flows, eff)
+            v = m.init(jax.random.PRNGKey(0))
+            if m.has_state:
+                p, s = v["params"], v["state"]
+                loss = lambda p, x, h: crit(*m.train_forward(p, s, x, h)[:2])
+            else:
+                p = v
+                loss = lambda p, x, h: crit(*m.forward_computation(p, x, h))
+            sizes.append(_residual_bytes(loss, p, x, h))
+        growth[eff] = (sizes[1] - sizes[0]) / 4
+    assert growth[True] < growth[False] / 3, growth
+
+
+@pytest.mark.parametrize("use_conv1x1", [False, True])
+def test_waveflow_scanned_flows_match_unrolled(use_conv1x1):
+    """memory_efficient WaveFlow runs the flow chain as a checkpointed
+    lax.scan over flow-stacked params (beyond the reference, whose WaveFlow
+    memory_efficient only covers the 1x1 — ``model/waveflow.py:188``):
+    forward, gradients, and the AR reverse must match the unrolled path."""
+    kw = dict(flows=3, n_group=8, n_mels=80, use_conv1x1=use_conv1x1,
+              dilation_channels=16, residual_channels=16, skip_channels=16,
+              bias=False, zero_init=False)
+    naive = WaveFlow(memory_efficient=False, **kw)
+    eff = WaveFlow(memory_efficient=True, **kw)
+    assert eff.scan_flows
+    p = naive.init(jax.random.PRNGKey(0))
+    ps = eff.stack_param_layout(p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 80, 16))
+
+    z1, l1 = naive.forward_computation(p, x, h)
+    z2, l2 = eff.forward_computation(ps, x, h)
+    assert float(jnp.abs(z1 - z2).max()) < 1e-6
+    assert float(jnp.abs(l1 - l2).max()) < 1e-4
+
+    g1 = jax.grad(lambda p: crit(*naive.forward_computation(p, x, h)))(p)
+    g2 = eff.unstack_param_layout(
+        jax.grad(lambda p: crit(*eff.forward_computation(p, x, h)))(ps))
+    assert grad_err(g1, g2) < 1e-6
+
+    # the unrolled AR reverse consumes the stacked layout transparently
+    x2, _ = eff.reverse_computation(ps, z2, h)
+    assert float(jnp.abs(x2 - x).max()) < 1e-5
+
+    # layout roundtrip is exact
+    back = eff.unstack_param_layout(ps)
+    assert grad_err(back, p) == 0.0
