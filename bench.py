@@ -53,9 +53,11 @@ def _device_kind():
 
 def _peak_flops():
     kind = _device_kind()
-    for k, v in _PEAK_FLOPS.items():
+    # longest prefix wins: 'TPU v5 lite' must resolve to the v5e entry,
+    # not fall through to the 'TPU v5' (v5p-class) prefix
+    for k in sorted(_PEAK_FLOPS, key=len, reverse=True):
         if kind.startswith(k) or k.startswith(kind):
-            return v
+            return _PEAK_FLOPS[k]
     return None
 
 

@@ -46,6 +46,12 @@ class FlowBase(Reversible):
     #: True for models that carry mutable state (e.g. MelGlow's BatchNorm).
     has_state: bool = False
 
+    #: True for models whose conditioner input is quantized inside the model
+    #: (WSRGlow's mu-law codes / phase bins): the raw cond must NOT be cast
+    #: to bf16 by AMP paths — rounding the waveform before quantization
+    #: shifts codes near level boundaries.
+    quantized_cond: bool = False
+
     def __init__(self, condition_hop_length: int, reverse_mode: bool = False):
         self._hop_length = condition_hop_length
         self._reverse_mode = reverse_mode

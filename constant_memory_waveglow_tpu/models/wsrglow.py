@@ -21,6 +21,10 @@ from ..ops.stft import hann_window, stft_no_center
 
 
 class WSRGlow(WaveGlow):
+    #: cond is the raw waveform, quantized in _get_cond — AMP must not
+    #: pre-round it to bf16 (see FlowBase.quantized_cond)
+    quantized_cond = True
+
     def __init__(self, upsample_rate: int = 2, memory_efficient: bool = False, **kwargs):
         super().__init__(
             12, 8 * upsample_rate, 4, 2, 8 * upsample_rate, 8 * 400 + 51 * 9,
@@ -80,7 +84,11 @@ class WSRGlow(WaveGlow):
             h = h[None]
         batch, t_low = h.shape
         samples = t_low * self.upsample_rate
-        z = sigma * jax.random.normal(key, (batch, samples), h.dtype)
+        # z follows the params' compute dtype, not h's: h stays fp32 for the
+        # in-model quantization (quantized_cond), yet bf16 synthesis must
+        # still run the flow stack in bf16
+        z_dtype = params["mu_embed"].dtype
+        z = sigma * jax.random.normal(key, (batch, samples), z_dtype)
         if self._reverse_mode:
             x, _ = self.forward_computation(params, z, h)
         else:

@@ -183,6 +183,15 @@ class DataLoader:
                 yield pending.pop(want)
         finally:
             stop.set()
+            # workers only observe ``stop`` at the loop top; one abandoned
+            # mid-epoch (max_steps break) may be blocked in out_q.put() on
+            # the bounded queue holding a full batch — drain until every
+            # worker has exited so nothing stays pinned for the process life
+            while any(t.is_alive() for t in threads):
+                try:
+                    out_q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
 
 
 def build_dataset(config):

@@ -137,7 +137,12 @@ class Experiment:
                     lambda a: a.astype(compute_dtype)
                     if hasattr(a, "astype") and jnp.issubdtype(a.dtype, jnp.floating)
                     else a, t)
-                params, batch, cond = cast(params), cast(batch), cast(cond)
+                params, batch = cast(params), cast(batch)
+                # models that quantize the raw cond in-model (WSRGlow's
+                # mu-law/phase codes) must see it un-rounded; _get_cond
+                # emits the embedded cond in the params' dtype itself
+                if not getattr(model, "quantized_cond", False):
+                    cond = cast(cond)
             if has_state:
                 z, logdet, new_state = model.train_forward(params, model_state, batch, cond)
             else:

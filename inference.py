@@ -63,7 +63,11 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None,
     if bf16:
         params = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if hasattr(a, "astype") else a, params)
-        cond = cond.astype(dtype)
+        # quantized-cond models (WSRGlow) take the raw waveform and quantize
+        # it in-model: keep it fp32 so mu-law/phase codes aren't shifted by
+        # bf16 rounding; the model emits its embedded cond in params' dtype
+        if not getattr(exp.model, "quantized_cond", False):
+            cond = cond.astype(dtype)
         y = y.astype(np.float32)
     else:
         # checkpoints exported with --bf16 store params half-size; upcast

@@ -60,8 +60,19 @@ def main():
         state, metrics = step_fn(state, batch)
         losses.append(float(metrics["loss"]))
 
+    # per-epoch test-file reconstruction, the TestFileCallBack path: the cond
+    # and the PRNG key must be mesh-replicated before entering the jit — a
+    # single-device-committed input mixed with mesh-spanning state is a hard
+    # error in multi-controller JAX (train.py does the same replication)
+    y = dataset[0][None]
+    cond = replicate(mesh, np.asarray(jax.jit(exp.conditioner)(y)))
+    key = replicate(mesh, np.asarray(jax.random.PRNGKey(0)))
+    pred = exp.infer(state, cond, key, sigma=0.7)
+    pred_sum = float(np.abs(np.asarray(pred)).sum())
+
     with open(out_path, "w") as f:
-        json.dump({"losses": losses, "step": int(state["step"])}, f)
+        json.dump({"losses": losses, "step": int(state["step"]),
+                   "pred_sum": pred_sum}, f)
 
 
 if __name__ == "__main__":

@@ -68,3 +68,49 @@ def test_bf16_compute_step():
     d_bf = flat(s_bf["params"]) - flat(s0["params"])
     cos = jnp.dot(d_fp, d_bf) / (jnp.linalg.norm(d_fp) * jnp.linalg.norm(d_bf) + 1e-12)
     assert float(cos) > 0.8, float(cos)
+
+
+def test_bf16_compute_wsrglow_quantizes_from_fp32_cond():
+    """Regression (round-2 review): the AMP cast must NOT round the raw
+    low-rate waveform to bf16 before WSRGlow's in-model mu-law / phase
+    quantization — codes near level boundaries shift, a systematic
+    train/infer conditioner mismatch.  The jitted bf16 step must equal a
+    manual loss that keeps cond fp32 while params/batch are bf16."""
+    from constant_memory_waveglow_tpu.ops.mulaw import mu_law_encode
+
+    exp = Experiment(WSR_CFG)
+    s0 = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, 2048),
+                           minval=-0.9, maxval=0.9)
+    c = exp.conditioner(x)
+
+    # this input is actually sensitive: bf16-rounding c changes some codes
+    codes_fp = mu_law_encode(c, 256)
+    codes_bf = mu_law_encode(c.astype(jnp.bfloat16).astype(jnp.float32), 256)
+    assert int((codes_fp != codes_bf).sum()) > 0
+
+    _, m_bf = exp.make_train_step(donate=False,
+                                  compute_dtype="bfloat16")(s0, x)
+
+    cast = lambda t: tu.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+    z, logdet = exp.model.forward(cast(s0["params"]), cast(x), c)
+    manual = exp.criterion(z.astype(jnp.float32), logdet.astype(jnp.float32))
+    assert abs(float(m_bf["loss"]) - float(manual)) < 1e-6
+
+
+def test_wsrglow_bf16_infer_runs_flows_in_bf16():
+    """WSRGlow.infer keeps h fp32 (quantized_cond) yet the flow stack and
+    the synthesized audio follow the params' compute dtype."""
+    exp = Experiment(WSR_CFG)
+    params = exp.init_state(jax.random.PRNGKey(0))["params"]
+    params_bf = tu.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    h = jax.random.uniform(jax.random.PRNGKey(1), (1, 512),
+                           minval=-0.5, maxval=0.5)
+    pred = exp.model.infer(params_bf, h, jax.random.PRNGKey(2), sigma=0.7)
+    assert pred.dtype == jnp.bfloat16
+    assert pred.shape[-1] == 1024
+    assert bool(jnp.isfinite(pred.astype(jnp.float32)).all())

@@ -57,6 +57,10 @@ def test_two_process_dp_matches_single_process(wav_dir, tmp_path):  # noqa: F811
     # both ranks computed the same global losses
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["step"] == 2  # size 8 / global batch 4
+    # per-epoch reconstruction ran on both ranks with identical output
+    # (regression: mesh-replicated cond/key into the jitted infer)
+    assert results[0]["pred_sum"] == results[1]["pred_sum"]
+    assert np.isfinite(results[0]["pred_sum"]) and results[0]["pred_sum"] > 0
 
     # single-process reference on the identical global batches
     exp = Experiment(TINY_CONFIG)

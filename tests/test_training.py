@@ -283,3 +283,39 @@ def test_infer_jit_compiles_once():
     y2 = exp.infer(state, h, jax.random.PRNGKey(2), sigma=0.9)
     assert calls["n"] == 1  # traced once; second call (new key+sigma) cached
     assert y1.shape == y2.shape and bool(jnp.isfinite(y1).all())
+
+
+def test_loader_abandoned_epoch_releases_workers(wav_dir):
+    """Regression (round-2 review): breaking out of epoch() mid-way (the
+    --max-steps path) must not leave prefetch workers blocked in
+    out_q.put() holding batches for the process lifetime."""
+    import threading
+
+    ds = build_dataset({"type": "RandomWAVDataset",
+                        "args": {"data_dir": wav_dir, "size": 64, "segment": 4096}})
+    loader = DataLoader(ds, batch_size=4, num_workers=4, prefetch_factor=1, seed=0)
+    before = set(threading.enumerate())
+    gen = loader.epoch(0)
+    next(gen)  # one batch; 16 total in the epoch, workers keep prefetching
+    gen.close()  # runs the generator's finally
+    leaked = [t for t in threading.enumerate() if t not in before]
+    for t in leaked:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in leaked)
+
+
+def test_bench_peak_flops_resolves_v5e():
+    """Regression (round-2 review): 'TPU v5 lite'/'TPU v5e' must resolve to
+    the v5e peak (197 TF), not the 'TPU v5' (v5p-class, 459 TF) prefix —
+    the MFU estimate was ~2.3x off on the benchmarked hardware."""
+    import bench
+
+    orig = bench._device_kind
+    try:
+        for kind, want in [("TPU v5 lite", 197e12), ("TPU v5e", 197e12),
+                           ("TPU v5p", 459e12), ("TPU v4", 275e12),
+                           ("TPU v6 lite", 918e12)]:
+            bench._device_kind = lambda k=kind: k
+            assert bench._peak_flops() == want, kind
+    finally:
+        bench._device_kind = orig

@@ -168,8 +168,12 @@ def main():
     if args.test_file:
         test_y, test_sr = load_wav(args.test_file)
         # conditioner of the fixed test wav never changes — compute once,
-        # jitted, rather than eagerly per epoch (remote-op dispatch is slow)
-        test_cond = jax.jit(exp.conditioner)(np.asarray(test_y)[None])
+        # jitted, rather than eagerly per epoch (remote-op dispatch is slow).
+        # Replicate over the global mesh: exp.infer's jit also consumes the
+        # mesh-replicated state, and a single-device-committed input mixed
+        # with mesh-spanning inputs is rejected (hard error multi-host).
+        test_cond = replicate(
+            mesh, jax.device_get(jax.jit(exp.conditioner)(np.asarray(test_y)[None])))
 
     step = int(state["step"])
     t0 = time.time()
@@ -221,7 +225,8 @@ def main():
         if test_y is not None:  # TestFileCallBack equivalent (train.py:17-34)
             # the jitted infer consumes globally-sharded state, so every
             # process must launch it; only rank 0 writes the audio
-            pred = exp.infer(state, test_cond, jax.random.PRNGKey(epoch),
+            pred = exp.infer(state, test_cond,
+                             replicate(mesh, jax.device_get(jax.random.PRNGKey(epoch))),
                              sigma=0.7)
             if is_main:
                 logger.log_audio(step, "reconstruct_audio", np.asarray(pred),
@@ -236,8 +241,12 @@ def main():
     if watchdog is not None:
         watchdog.stop()  # final save/export below may exceed the step budget
     checkpoint.wait_for_saves()  # don't race the last epoch's async save
-    checkpoint.save_checkpoint(
-        ckpt_dir, step, exp.canonical_state(jax.device_get(state)), config)
+    if checkpoint.latest_step(ckpt_dir) != step:
+        # only if the loop exited between epoch-boundary saves: re-saving an
+        # already-committed step would delete-and-rewrite the newest
+        # checkpoint (and lose it if killed mid-rewrite)
+        checkpoint.save_checkpoint(
+            ckpt_dir, step, exp.canonical_state(jax.device_get(state)), config)
     if is_main:
         print(f"done at step {step}; checkpoints in {ckpt_dir}")
 
