@@ -200,8 +200,9 @@ class WN_LVC:
         offset = t // steps
         pad = dilation * (self.radix - 1) // 2
         xp = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)])
-        # static window gather: [steps, offset + 2*pad]
-        idx = np.arange(steps)[:, None] * offset + np.arange(offset + 2 * pad)[None, :]
+        # window gather: [steps, offset + 2*pad]; jnp.arange so `steps` may be
+        # a symbolic dim (jax.export) — constant-folded when shapes are static
+        idx = jnp.arange(steps)[:, None] * offset + jnp.arange(offset + 2 * pad)[None, :]
         win = xp[:, :, idx]  # [B, res, steps, offset + 2*pad]
         win = win.transpose(0, 2, 1, 3)  # [B, steps, res, win]
         z = 0.0

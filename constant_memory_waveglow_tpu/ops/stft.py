@@ -57,7 +57,9 @@ def frame_signal(x, frame_length, hop):
     """[..., T] -> [..., n_frames, frame_length] with no padding (center=False)."""
     t = x.shape[-1]
     n = 1 + (t - frame_length) // hop
-    idx = np.arange(n)[:, None] * hop + np.arange(frame_length)[None, :]
+    # jnp.arange (not np): n may be a symbolic dimension under jax.export
+    # shape polymorphism; for static shapes XLA constant-folds the iota
+    idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame_length)[None, :]
     return x[..., idx]
 
 

@@ -1,0 +1,163 @@
+"""Deployment exports: serialized, length-polymorphic serving artifacts.
+
+The reference deploys by unpickling the training class and calling it under
+torch (``inference.py:13-36``); a TPU serving story wants the opposite — a
+self-contained compiled artifact with **no framework or model code at load
+time**.  ``jax.export`` serializes the jitted synthesis/analysis functions to
+StableHLO with the fused weights baked in as constants and the *time axis
+symbolic*: one artifact serves any utterance length (shape polymorphism), on
+any platform it was lowered for (TPU artifacts can be produced from a CPU-only
+host).
+
+Artifact layout (a directory):
+
+    synthesis.jaxexport   (z, cond) -> audio        z ~ N(0, sigma^2) supplied
+                                                    by the caller, so the
+                                                    artifact is RNG-free
+    analysis.jaxexport    (audio, cond) -> (z, logdet)
+    meta.json             model family, shapes contract, dtypes, platforms
+
+Load with :class:`ServingModel` (only needs jax + numpy) or hand
+``jax.export.deserialize(blob).call`` to any StableHLO-speaking runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SYNTH_FILE = "synthesis.jaxexport"
+ANALYSIS_FILE = "analysis.jaxexport"
+META_FILE = "meta.json"
+
+
+def _specs(model, batch, dtype):
+    """Input ShapeDtypeStructs with a symbolic time axis, per family.
+
+    Returns (z_spec, h_spec, contract) where contract documents the shape
+    relation for meta.json.
+    """
+    from jax import export
+
+    from .models.wsrglow import WSRGlow
+
+    if isinstance(model, WSRGlow):
+        # cond is the raw low-rate waveform, length divisible by 8 (the
+        # mu-law embedding regroups 8 samples/frame); output is r x longer.
+        # It is quantized in-model, so it stays fp32 whatever the compute
+        # dtype (see FlowBase.quantized_cond).
+        (f,) = export.symbolic_shape("f", constraints=["f >= 2"])
+        r = model.upsample_rate
+        z = jax.ShapeDtypeStruct((batch, 8 * r * f), dtype)
+        h = jax.ShapeDtypeStruct((batch, 8 * f), jnp.float32)
+        contract = {"cond": f"[{batch}, 8*f] low-rate waveform (fp32)",
+                    "z": f"[{batch}, {8 * r}*f]",
+                    "audio": f"[{batch}, {8 * r}*f]"}
+    else:
+        (f,) = export.symbolic_shape("f", constraints=["f >= 4"])
+        hop = model._hop_length
+        n_mels = model.n_mels
+        z = jax.ShapeDtypeStruct((batch, hop * f), dtype)
+        h = jax.ShapeDtypeStruct((batch, n_mels, f), dtype)
+        contract = {"cond": f"[{batch}, {n_mels}, f] mel frames",
+                    "z": f"[{batch}, {hop}*f]",
+                    "audio": f"[{batch}, {hop}*f]"}
+    return z, h, contract
+
+
+def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
+                   bf16=False, with_analysis=True):
+    """Export a trained checkpoint as a serving artifact directory.
+
+    ``ckpt`` is any training or lean-export checkpoint directory (config
+    embedded).  Weight norm is fused; with ``bf16`` the baked-in weights and
+    the flow math are bfloat16 (MXU path) while quantized conds stay fp32.
+    """
+    from jax import export
+
+    from .ops.weightnorm import fuse_weight_norms
+    from .training import Experiment, checkpoint
+
+    config = checkpoint.load_config_from_checkpoint(ckpt)
+    exp = Experiment(config)
+    state = exp.native_state(checkpoint.restore_raw(ckpt))
+    params = fuse_weight_norms(exp._infer_params(state))
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    else:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, params)
+
+    model = exp.model
+    z_spec, h_spec, contract = _specs(model, batch, dtype)
+
+    def synthesis(z, h):
+        x, _ = model.reverse_computation(params, z, h)
+        return x.reshape(z.shape)  # keep the batch dim, unlike infer's squeeze
+
+    def analysis(x, h):
+        return model.forward(params, x, h)
+
+    os.makedirs(out_dir, exist_ok=True)
+    exported = {}
+    e_syn = export.export(jax.jit(synthesis), platforms=tuple(platforms))(
+        z_spec, h_spec)
+    with open(os.path.join(out_dir, SYNTH_FILE), "wb") as f:
+        f.write(e_syn.serialize())
+    exported["synthesis"] = SYNTH_FILE
+
+    if with_analysis:
+        x_spec = jax.ShapeDtypeStruct(z_spec.shape, z_spec.dtype)
+        e_ana = export.export(jax.jit(analysis), platforms=tuple(platforms))(
+            x_spec, h_spec)
+        with open(os.path.join(out_dir, ANALYSIS_FILE), "wb") as f:
+            f.write(e_ana.serialize())
+        exported["analysis"] = ANALYSIS_FILE
+
+    meta = {
+        "family": config["arch"]["type"],
+        "name": config.get("name"),
+        "batch": batch,
+        "dtype": "bfloat16" if bf16 else "float32",
+        "platforms": list(platforms),
+        "contract": contract,
+        "functions": exported,
+        "step": int(np.asarray(state["step"])) if "step" in state else None,
+    }
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ServingModel:
+    """Load and call a serving artifact. Needs only jax + numpy (no model
+    code, no checkpoint restore, no config registry)."""
+
+    def __init__(self, art_dir):
+        from jax import export
+
+        with open(os.path.join(art_dir, META_FILE)) as f:
+            self.meta = json.load(f)
+        self._fns = {}
+        for name, fname in self.meta["functions"].items():
+            with open(os.path.join(art_dir, fname), "rb") as f:
+                self._fns[name] = export.deserialize(bytearray(f.read()))
+
+    def synthesize(self, z, h):
+        """z: noise (caller-scaled by sigma), h: conditioner -> audio."""
+        return self._fns["synthesis"].call(z, h)
+
+    def analyze(self, x, h):
+        """audio, conditioner -> (z, logdet)."""
+        if "analysis" not in self._fns:
+            raise ValueError("artifact was exported without analysis")
+        return self._fns["analysis"].call(x, h)

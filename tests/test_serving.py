@@ -1,0 +1,115 @@
+"""Serving artifacts: jax.export round-trip with a symbolic time axis.
+
+The deployment analog of the reference's pickle-the-module flow
+(``inference.py:13-36``): a serialized StableHLO artifact with fused weights
+baked in must reproduce the live model bit-for-bit at *any* length without
+model code at load time.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
+from constant_memory_waveglow_tpu.serving import ServingModel, export_serving
+from constant_memory_waveglow_tpu.training import Experiment, checkpoint
+
+WG_CFG = {
+    "name": "serve_wg",
+    "arch": {"type": "WaveGlow", "args": {
+        "flows": 2, "n_group": 8, "n_early_every": 4, "n_early_size": 2,
+        "hop_size": 256, "n_mels": 80, "memory_efficient": True,
+        "zero_init": False, "dilation_channels": 16, "residual_channels": 16,
+        "skip_channels": 16, "depth": 2, "radix": 3, "bias": False}},
+    "optimizer": {"type": "Adam", "args": {"lr": 1e-4}},
+    "loss": {"type": "WaveGlowLoss", "args": {"sigma": 0.7, "elementwise_mean": True}},
+    "conditioner": {"type": "MelSpec", "args": {
+        "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000, "n_mels": 80}},
+}
+
+WSR_CFG = {
+    "name": "serve_wsr",
+    "arch": {"type": "WSRGlow", "args": {
+        "upsample_rate": 2, "memory_efficient": True,
+        "dilation_channels": 8, "residual_channels": 8, "skip_channels": 8,
+        "depth": 1, "radix": 3, "bias": False}},
+    "optimizer": {"type": "Adam", "args": {"lr": 1e-4}},
+    "loss": {"type": "WaveGlowLoss", "args": {"sigma": 1.0, "elementwise_mean": True}},
+    "conditioner": {"type": "STFTDecimate", "args": {"r": 2}},
+}
+
+
+def _make_ckpt(tmp_path, cfg):
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(ckpt, 0, exp.canonical_state(state), cfg)
+    return exp, state, ckpt
+
+
+def test_waveglow_serving_roundtrip(tmp_path):
+    exp, state, ckpt = _make_ckpt(tmp_path, WG_CFG)
+    art = str(tmp_path / "art")
+    meta = export_serving(ckpt, art, platforms=("cpu",))
+    assert meta["family"] == "WaveGlow"
+
+    served = ServingModel(art)
+    params = fuse_weight_norms(exp._infer_params(state))
+    model = exp.model
+    # two different lengths through ONE artifact (symbolic time axis)
+    for frames in (8, 13):
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 256 * frames)) * 0.7
+        h = jax.random.normal(jax.random.PRNGKey(2), (1, 80, frames))
+        got = served.synthesize(np.asarray(z), np.asarray(h))
+        want, _ = model.reverse_computation(params, z, h)
+        assert got.shape == (1, 256 * frames)
+        assert float(jnp.abs(got - want.reshape(got.shape)).max()) < 1e-6
+
+        x = got
+        z2, logdet = served.analyze(x, np.asarray(h))
+        z2_want, logdet_want = model.forward(params, jnp.asarray(x), h)
+        assert float(jnp.abs(z2 - z2_want).max()) < 1e-6
+        assert float(jnp.abs(logdet - logdet_want).max()) < 2e-2
+        # analysis(synthesis(z)) recovers z: the artifact pair is invertible
+        assert float(jnp.abs(z2 - z).max()) < 5e-3
+
+
+def test_wsrglow_serving_quantized_cond_fp32(tmp_path):
+    """WSRGlow's cond input stays fp32 in the artifact even for bf16 exports
+    (in-model quantization), and the r-times-longer output contract holds."""
+    exp, state, ckpt = _make_ckpt(tmp_path, WSR_CFG)
+    art = str(tmp_path / "art")
+    meta = export_serving(ckpt, art, platforms=("cpu",), bf16=True,
+                          with_analysis=False)
+    assert meta["dtype"] == "bfloat16"
+
+    served = ServingModel(art)
+    t_low = 8 * 4
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (1, 2 * t_low)),
+                   np.float32).astype(jnp.bfloat16)
+    h = np.asarray(jax.random.uniform(jax.random.PRNGKey(2), (1, t_low),
+                                      minval=-0.5, maxval=0.5), np.float32)
+    got = served.synthesize(z, h)
+    assert got.shape == (1, 2 * t_low)
+    assert got.dtype == jnp.bfloat16
+
+    # fp32 cond into a bf16 artifact is the contract (quantized_cond);
+    # a bf16 cond must be rejected by the shape/dtype check
+    with pytest.raises(Exception):
+        served.synthesize(z, h.astype(jnp.bfloat16))
+
+
+def test_serving_artifact_needs_no_model_code(tmp_path):
+    """The artifact runs through raw jax.export.deserialize alone."""
+    from jax import export as jexport
+
+    _, _, ckpt = _make_ckpt(tmp_path, WG_CFG)
+    art = str(tmp_path / "art")
+    export_serving(ckpt, art, platforms=("cpu",), with_analysis=False)
+    with open(tmp_path / "art" / "synthesis.jaxexport", "rb") as f:
+        fn = jexport.deserialize(bytearray(f.read()))
+    z = np.zeros((1, 2048), np.float32)
+    h = np.zeros((1, 80, 8), np.float32)
+    out = fn.call(z, h)
+    assert out.shape == (1, 2048) and bool(jnp.isfinite(out).all())
