@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import FlowBase
+from .wn import _conv_param as _conv2d_param  # shape-agnostic: handles 2-D kernels
 from ..flows.invconv import InvertibleConv1x1
 from ..ops.convs import (conv1x1, conv2d, conv2d_causal_h, conv_transpose1d,
                          torch_conv_uniform_init)
@@ -38,15 +39,6 @@ DILATION_DICT = {
 }
 
 
-def _conv2d_param(key, shape, bias, wnorm=True):
-    kw, kb = jax.random.split(key)
-    w = torch_conv_uniform_init(kw, shape)
-    p = {"w": wn_init(w) if wnorm else w}
-    if bias:
-        fan_in = int(np.prod(shape[1:]))
-        bound = 1.0 / np.sqrt(fan_in)
-        p["b"] = jax.random.uniform(kb, (shape[0],), minval=-bound, maxval=bound)
-    return p
 
 
 def _apply_1x1_2d(p, x):
@@ -400,7 +392,7 @@ class WaveFlow(FlowBase):
                         packed, z_in, cond_all, h_dilations=hds,
                         dilations=ds, residual=wn.residual_channels,
                         skip=wn.skip_channels, interpret=_ar._INTERPRET,
-                        fast=fast)
+                        fast=fast, true_w=w)
                     logdet = logdet - log_rows[..., :w].sum((1, 2))
                     z = jnp.concatenate(
                         [z[:, :, :1], x_rows[:, None, 1:, :w]], 2)
@@ -409,7 +401,7 @@ class WaveFlow(FlowBase):
                     packed, z_in[:, :, None, :], cond_all, h_dilations=hds,
                     dilations=ds, residual=wn.residual_channels,
                     skip=wn.skip_channels, interpret=_ar._INTERPRET,
-                    fast=fast)
+                    fast=fast, true_w=w)
                 logdet = logdet - log_rows[..., :w].sum((1, 2, 3))
                 z = jnp.concatenate([z[:, :, :1],
                                      x_rows[:, 1:, :, :w].transpose(0, 2, 1, 3)], 2)

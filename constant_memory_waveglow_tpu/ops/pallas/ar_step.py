@@ -92,9 +92,10 @@ def ring_indices(s, h_dilations):
 @functools.partial(
     jax.jit,
     static_argnames=("h_dilations", "dilations", "residual", "skip",
-                     "interpret", "fast"))
+                     "interpret", "fast", "true_w"))
 def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
-                  dilations, residual, skip, interpret=False, fast=True):
+                  dilations, residual, skip, interpret=False, fast=True,
+                  true_w=None):
     """One fused AR step.
 
     packed: from :func:`pack_ar_weights`; x_row: [B, W] (raw previous row);
@@ -102,6 +103,9 @@ def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
     so the dynamically-indexed row dim is outside the (C, W) tiling; donated
     — updated in place via aliasing); idx: [depth, 3] int32 from
     :func:`ring_indices`.
+
+    ``true_w``: pre-padding width; the residual row is re-zeroed beyond it
+    at entry and after each residual update (see :func:`fused_ar_flow_vmem`).
 
     Returns (log_s [B, W], t [B, W], new_rings).
     """
@@ -120,6 +124,8 @@ def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=dot_prec)
 
+    masked = true_w is not None and true_w < w_len
+
     def kernel(idx_ref, x_ref, cond_ref, wt_ref, wom_ref, wol_ref, wst_ref,
                wend_ref, *ring_and_out):
         rings_in = ring_and_out[:depth]
@@ -129,8 +135,13 @@ def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
         pending_w = [None, None]  # ping-pong write-backs in flight
 
         bi = pl.program_id(0)
+        if masked:  # zero beyond the pre-padding width (see docstring)
+            wmask = (lax.broadcasted_iota(jnp.int32, (1, w_len), 1)
+                     < true_w).astype(jnp.float32)
         # start conv: [r, 1] x [1, W] outer product on the VPU
         x = wst_ref[:, :1] * x_ref[0, 0][None, :].astype(jnp.float32)  # [r, W]
+        if masked:  # the caller's x_new has nonzero pad columns
+            x = x * wmask
         cum_skip = jnp.zeros((skip, w_len), jnp.float32)
 
         for i in range(depth):
@@ -169,6 +180,8 @@ def fused_ar_step(packed, x_row, cond_all, rings, idx, *, h_dilations,
             else:
                 out = dot(wom_ref[i], g)
                 x = x + out[:r]
+                if masked:  # out is nonzero in pad columns
+                    x = x * wmask
                 cum_skip = cum_skip + out[r:]
         for cpw in pending_w:
             if cpw is not None:
@@ -241,9 +254,10 @@ def flow_vmem_supported(wn, w_len, g, dtype, fast) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("h_dilations", "dilations", "residual", "skip",
-                     "interpret", "fast"))
+                     "interpret", "fast", "true_w"))
 def fused_ar_flow_vmem(packed, z, cond_all, *, h_dilations, dilations,
-                       residual, skip, interpret=False, fast=True):
+                       residual, skip, interpret=False, fast=True,
+                       true_w=None):
     """Whole-flow AR inverse with ALL state resident in VMEM (no inner DMA).
 
     v2 of :func:`fused_ar_flow`: the v1 kernel keeps rings + cond in HBM and
@@ -264,6 +278,13 @@ def fused_ar_flow_vmem(packed, z, cond_all, *, h_dilations, dilations,
     to bf16 by the caller when ``fast`` to halve VMEM).  W must be
     128-aligned.  Returns (x_rows [B, G, W] with row 0 = z row 0,
     log_s_rows [B, G-1, W]).
+
+    ``true_w``: the pre-padding width.  When W was padded up to a lane
+    multiple, every row must be re-zeroed beyond ``true_w`` after each
+    residual update and each generated x row: a single conv is pad-local,
+    but the AR recursion and the intra-row residual chain would otherwise
+    feed nonzero pad-column values back into real columns (the training
+    forward's boundary condition is zeros beyond ``true_w``).
     """
     depth = len(h_dilations)
     b, g, w_len = z.shape
@@ -286,9 +307,13 @@ def fused_ar_flow_vmem(packed, z, cond_all, *, h_dilations, dilations,
     for n in n_rings:
         bases.append(bases[-1] + n)
     r_total = bases[-1]
+    masked = true_w is not None and true_w < w_len
 
     def kernel(z_ref, cond_ref, wt9_ref, wom_ref, wol_ref, wst_ref, wend_ref,
                x_ref, logs_ref, ring_s, taps_s):
+        if masked:  # zero beyond the pre-padding width (see docstring)
+            wmask = (lax.broadcasted_iota(jnp.int32, (1, w_len), 1)
+                     < true_w).astype(jnp.float32)
         # zero the rings one row at a time — a whole-array assignment would
         # materialize the full [R, C, W] zeros as a scoped-VMEM temporary
         zrow = jnp.zeros((1, r, w_len), ring_s.dtype)
@@ -323,7 +348,9 @@ def fused_ar_flow_vmem(packed, z, cond_all, *, h_dilations, dilations,
                     for k in range(3):
                         taps_s[pl.ds((h * 3 + k) * r, r)] = (
                             row_p[:, k * d : k * d + w_len].astype(op_dtype))
-                xy = (dot(wt9_ref[i], taps_s[:].astype(jnp.float32))
+                # taps_s is already op_dtype; dot() casts its operands, so
+                # reading it raw avoids a bf16->f32->bf16 round-trip pass
+                xy = (dot(wt9_ref[i], taps_s[:])
                       + cond_ref[0, pl.ds(i * d2, d2)].astype(jnp.float32))
                 gate = jnp.tanh(xy[:d_half]) * jax.nn.sigmoid(xy[d_half:])
                 if i == depth - 1:
@@ -331,11 +358,15 @@ def fused_ar_flow_vmem(packed, z, cond_all, *, h_dilations, dilations,
                 else:
                     out = dot(wom_ref[i], gate)
                     x = x + out[:r]
+                    if masked:  # out is nonzero in pad columns
+                        x = x * wmask
                     cum_skip = cum_skip + out[r:]
 
             res = dot(wend_ref[:], cum_skip)  # [2, W] = (log_s, t)
             z_next = z_ref[0, s + 1].astype(jnp.float32)[None]
             x_new = (z_next - res[1:2]) * jnp.exp(-res[0:1])
+            if masked:  # t is nonzero in pad columns
+                x_new = x_new * wmask
             logs_ref[0, s] = res[0].astype(dtype)
             x_ref[0, s + 1] = x_new[0].astype(dtype)
             return x_new
@@ -398,9 +429,9 @@ def ar_step_supported(wn, w_len, dtype) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("h_dilations", "dilations", "residual", "skip",
-                     "interpret", "fast"))
+                     "interpret", "fast", "true_w"))
 def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
-                  skip, interpret=False, fast=True):
+                  skip, interpret=False, fast=True, true_w=None):
     """The ENTIRE autoregressive inverse of one flow in one kernel.
 
     Per-step kernel launches dominate the AR cost (~640 us per program-step
@@ -415,6 +446,9 @@ def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
     slice outside).  Returns (x_rows [B, G, 1, W] with rows 1.. generated,
     row 0 garbage — overwrite with z row 0 outside; log_s_rows
     [B, G-1, 1, W]).
+
+    ``true_w``: pre-padding width; rows are re-zeroed beyond it after each
+    residual update / generated row (see :func:`fused_ar_flow_vmem`).
     """
     depth = len(h_dilations)
     b, g, _, w_len = z.shape
@@ -433,6 +467,7 @@ def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
             precision=dot_prec)
 
     n_rings = [2 * hd + 1 for hd in h_dilations]
+    masked = true_w is not None and true_w < w_len
 
     def kernel(z_ref, cond_ref, wt9_ref, wom_ref, wol_ref, wst_ref, wend_ref,
                *ring_and_out):
@@ -442,6 +477,9 @@ def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
         rings_out = ring_and_out[depth + 2 : 2 * depth + 2]
         (zrow_s, t0_s, t1_s, xw_s, cond_s, outrow_s, taps9_s, sems) = \
             ring_and_out[2 * depth + 2:]
+        if masked:  # zero beyond the pre-padding width (see docstring)
+            wmask = (lax.broadcasted_iota(jnp.int32, (1, w_len), 1)
+                     < true_w).astype(jnp.float32)
 
         bi = pl.program_id(0)
 
@@ -501,6 +539,8 @@ def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
                 else:
                     out = dot(wom_ref[i], gate)
                     x = x + out[:r]
+                    if masked:  # out is nonzero in pad columns
+                        x = x * wmask
                     cum_skip = cum_skip + out[r:]
                 cpw.wait()  # ring row committed; staging slot reusable
 
@@ -508,6 +548,8 @@ def fused_ar_flow(packed, z, cond_all, *, h_dilations, dilations, residual,
             cpz.wait()
             x_new = ((zrow_s[:].astype(jnp.float32) - res[1:2])
                      * jnp.exp(-res[0:1]))
+            if masked:  # t is nonzero in pad columns
+                x_new = x_new * wmask
 
             # stream out log_s row and the generated audio row
             outrow_s[0] = res[0:1].astype(dtype)

@@ -170,3 +170,52 @@ def test_waveflow_reverse_with_fused_kernel():
         mod._INTERPRET = False
     np.testing.assert_allclose(x_fused, x_ref, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(ld_fused, ld_ref, atol=1e-3, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_vmem", [True, False])
+def test_fused_flow_unaligned_width(use_vmem):
+    """Regression (round-2 review): at T' not a lane multiple (e.g. 96,
+    padded to 128 for the kernel), nonzero values generated in the padded
+    columns must NOT feed back through the width-'same' convs into real
+    columns — the AR recursion and the intra-row residual chain both cross
+    the pad boundary unless rows are re-zeroed beyond the true width.  The
+    flagship bench width (3440) is unaligned, so this is the production
+    path."""
+    from constant_memory_waveglow_tpu.ops.pallas import ar_step as mod
+    from constant_memory_waveglow_tpu.ops.convs import (
+        get_default_precision, set_default_precision)
+
+    kw = dict(flows=2, n_group=8, n_mels=10, use_conv1x1=False,
+              memory_efficient=False, dilation_channels=8,
+              residual_channels=8, skip_channels=8, bias=False,
+              zero_init=False)
+    model = WaveFlow(**kw)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 768)) * 0.3  # T'=96
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 3))
+
+    z, _ = model.forward_computation(params, x, h)
+    x_ref, ld_ref = model.reverse_computation(params, z, h)
+    np.testing.assert_allclose(x_ref, x, atol=1e-4)  # scan path roundtrip
+
+    prev, prev_prec = mod._ENABLED, get_default_precision()
+    prev_vmem = mod.flow_vmem_supported
+    mod.set_fused_ar_enabled(True)
+    mod._INTERPRET = True
+    if use_vmem:
+        set_default_precision("default")  # route to the vmem (fast) kernel
+        assert mod.flow_vmem_supported(model.WNs[0], 128, 8, z.dtype, True)
+    else:
+        # force the v1 (DMA) kernel, which vmem support would shadow
+        mod.flow_vmem_supported = lambda *a, **k: False
+    try:
+        x_fused, ld_fused = model.reverse_computation(params, z, h)
+    finally:
+        mod.set_fused_ar_enabled(prev)
+        mod._INTERPRET = False
+        mod.flow_vmem_supported = prev_vmem
+        set_default_precision(prev_prec)
+    tol = 5e-2 if use_vmem else 1e-4  # bf16 vs fp32 kernel math
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref), atol=tol)
+    np.testing.assert_allclose(np.asarray(ld_fused), np.asarray(ld_ref),
+                               rtol=0.05, atol=0.05 * float(np.abs(ld_ref).max()))
