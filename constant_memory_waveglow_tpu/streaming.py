@@ -1,0 +1,98 @@
+"""Chunked (overlap-discard) synthesis: bounded memory at any length.
+
+The reference synthesizes whole files in one pass (``inference.py:50-57``);
+fully-convolutional flows make that correct at any length, but device memory
+and — with fixed-shape serving artifacts (:mod:`.serving`) or compile caches —
+compilation both favor a FIXED chunk shape.  Overlap-discard gives bit-level
+equivalence to the full pass: each chunk is synthesized with a halo of at
+least the model's reverse receptive field on both sides, and only the core is
+kept.  At utterance boundaries the halo is clamped, so the chunk edge *is*
+the true edge and the convs' zero padding matches the full pass exactly.
+
+Supported: WaveGlow and WSRGlow (the serving-relevant families; their
+time-domain receptive field is a closed form below).  WaveFlow / MelGlow /
+MRWaveGlow raise — their halos are respectively impractically large
+(sum(dilations)=255 per layer stack at T'-rate, ~6 s/side at n_group 64) or
+not closed-form here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def reverse_halo_frames(model) -> int:
+    """Conditioner-frame halo that upper-bounds the reverse receptive field.
+
+    WaveGlow-family reverse: per flow, the coupling WN looks
+    ``sum(dilations) * (radix-1)/2`` squeezed steps to each side (dilated
+    'same' convs stack additively); flows chain, the invertible 1x1 is
+    pointwise, and the squeezed step is ``n_group`` samples.  The mel
+    upsampler (depthwise transposed conv) adds under one conditioner frame
+    of reach; WSRGlow's STFT conditioner (hop 8, n_fft 16, reflect pad 4)
+    adds one low-rate frame.  Both are covered by the +2 margin.
+    """
+    from .models.waveglow import WaveGlow
+
+    if not isinstance(model, WaveGlow):  # WSRGlow subclasses WaveGlow
+        raise NotImplementedError(
+            f"streaming synthesis supports the WaveGlow family; "
+            f"{type(model).__name__}'s reverse halo is not closed-form here")
+    wn = model.WNs[0].F  # AffineCouplingBlock wraps the WN
+    half = sum(wn.dilations) * (wn.radix - 1) // 2
+    halo_samples = model.flows * half * model.n_group
+    return math.ceil(halo_samples / model._hop_length) + 2
+
+
+def synthesize_streaming(model, params, h, key=None, z=None, sigma=1.0, *,
+                         chunk_frames, halo_frames=None):
+    """Synthesize with bounded per-chunk memory; equals the full pass.
+
+    h: conditioner — mel [B, n_mels, F] (WaveGlow) or low-rate waveform
+    [B, T_low] (WSRGlow, frame = 8 low-rate samples).  z defaults to
+    ``sigma * N(0, 1)`` of the full output length under ``key`` — the same
+    noise ``FlowBase.infer`` would draw, sampled ONCE so chunking does not
+    change the distribution or the result.
+
+    Inner chunks share one shape, so the jitted reverse compiles once (plus
+    at most two boundary shapes).  Returns audio [B, F * hop].
+    """
+    from .models.wsrglow import WSRGlow
+
+    is_wsr = isinstance(model, WSRGlow)
+    if halo_frames is None:
+        halo_frames = reverse_halo_frames(model)
+
+    if is_wsr:
+        if h.ndim == 1:
+            h = h[None]
+        frames = h.shape[-1] // 8
+        f_unit = 8  # conditioner positions per frame
+    else:
+        if h.ndim == 2:
+            h = h[None]
+        frames = h.shape[-1]
+        f_unit = 1
+    hop = model._hop_length  # output samples per frame (8*r for WSRGlow)
+    batch = h.shape[0]
+
+    if z is None:
+        if key is None:
+            raise ValueError("pass key= or z=")
+        z = sigma * jax.random.normal(key, (batch, frames * hop), h.dtype)
+
+    fn = jax.jit(lambda p, zz, hh: model.reverse(p, zz, hh)[0])
+
+    outs = []
+    for start in range(0, frames, chunk_frames):
+        end = min(start + chunk_frames, frames)
+        lo = max(0, start - halo_frames)
+        hi = min(frames, end + halo_frames)
+        zc = z[:, lo * hop : hi * hop]
+        hc = h[..., lo * f_unit : hi * f_unit]
+        xc = fn(params, zc, hc)
+        outs.append(xc[:, (start - lo) * hop : (end - lo) * hop])
+    return jnp.concatenate(outs, axis=1)

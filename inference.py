@@ -19,7 +19,7 @@ import time
 
 
 def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None,
-         precision="default"):
+         precision="default", chunk_frames=0):
     import jax
 
     if platform:
@@ -94,8 +94,16 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None,
           (float((z**2).mean()) / sigma**2 + math.log(2 * math.pi) + 2 * math.log(sigma)))
     print("Time cost: {:.4f}, Speed: {:.4f} kHz".format(cost, z.size / cost / 1000))
 
-    infer = jax.jit(lambda p, h, k: model.infer(p, h, k, sigma))
     key = jax.random.PRNGKey(0)
+    if chunk_frames:
+        # overlap-discard chunking: bounded memory for arbitrarily long
+        # files, identical output to the one-pass synthesis
+        from constant_memory_waveglow_tpu.streaming import synthesize_streaming
+
+        infer = lambda p, h, k: synthesize_streaming(
+            model, p, h, key=k, sigma=sigma, chunk_frames=chunk_frames)
+    else:
+        infer = jax.jit(lambda p, h, k: model.infer(p, h, k, sigma))
     x = infer(params, cond, key)
     float(np.asarray(x.ravel()[0]))  # compile + first exec
     start = time.time()
@@ -123,7 +131,11 @@ if __name__ == "__main__":
                         choices=["default", "high", "highest"],
                         help="matmul precision for synthesis (default: bf16 "
                              "MXU passes, the path bench.py measures)")
+    parser.add_argument("--chunk-frames", type=int, default=0,
+                        help="overlap-discard synthesis in chunks of N "
+                             "conditioner frames (bounded memory for long "
+                             "files, same output; WaveGlow/WSRGlow)")
     args = parser.parse_args()
 
     main(args.ckpt, args.infile, args.outfile, args.sigma, args.bf16,
-         args.n_group, args.platform, args.precision)
+         args.n_group, args.platform, args.precision, args.chunk_frames)

@@ -1,0 +1,76 @@
+"""Chunked overlap-discard synthesis == one-pass synthesis, exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from constant_memory_waveglow_tpu.models import WaveFlow, WaveGlow
+from constant_memory_waveglow_tpu.models.wsrglow import WSRGlow
+from constant_memory_waveglow_tpu.streaming import (reverse_halo_frames,
+                                                    synthesize_streaming)
+
+
+def test_waveglow_streaming_matches_full_pass():
+    m = WaveGlow(flows=3, n_group=8, n_early_every=2, n_early_size=2,
+                 hop_size=256, n_mels=80, memory_efficient=True,
+                 zero_init=False, dilation_channels=16, residual_channels=16,
+                 skip_channels=16, depth=3, radix=3, bias=False)
+    params = m.init(jax.random.PRNGKey(0))
+    frames = 23  # odd: exercises clamped boundary chunks + a short tail
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 80, frames))
+    z = 0.7 * jax.random.normal(jax.random.PRNGKey(2), (2, frames * 256))
+
+    full, _ = m.reverse(params, z, h)
+    chunked = synthesize_streaming(m, params, h, z=z, chunk_frames=6)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+    # the key= path draws the same noise infer would
+    via_key = synthesize_streaming(m, params, h, key=jax.random.PRNGKey(3),
+                                   sigma=0.7, chunk_frames=6)
+    want = m.infer(params, h, jax.random.PRNGKey(3), sigma=0.7)
+    np.testing.assert_allclose(np.asarray(via_key[0]), np.asarray(want[0]),
+                               atol=1e-5)
+
+
+def test_wsrglow_streaming_matches_full_pass():
+    m = WSRGlow(upsample_rate=2, memory_efficient=True, dilation_channels=8,
+                residual_channels=8, skip_channels=8, depth=2, radix=3,
+                bias=False)
+    params = m.init(jax.random.PRNGKey(0))
+    t_low = 8 * 21
+    h = jax.random.uniform(jax.random.PRNGKey(1), (1, t_low),
+                           minval=-0.5, maxval=0.5)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 2 * t_low))
+
+    full, _ = m.reverse(params, z, h)
+    chunked = synthesize_streaming(m, params, h, z=z, chunk_frames=5)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+
+def test_streaming_halo_bound_is_tight_enough():
+    """An intentionally small halo must break equality — i.e. the test
+    above is actually sensitive to halo correctness."""
+    m = WaveGlow(flows=3, n_group=8, n_early_every=2, n_early_size=2,
+                 hop_size=256, n_mels=80, memory_efficient=False,
+                 zero_init=False, dilation_channels=16, residual_channels=16,
+                 skip_channels=16, depth=3, radix=3, bias=False)
+    params = m.init(jax.random.PRNGKey(0))
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, 80, 24))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 24 * 256))
+    full, _ = m.reverse(params, z, h)
+    bad = synthesize_streaming(m, params, h, z=z, chunk_frames=6,
+                               halo_frames=0)
+    assert float(jnp.abs(bad - full).max()) > 1e-3
+    assert reverse_halo_frames(m) >= 1
+
+
+def test_streaming_unsupported_family_raises():
+    m = WaveFlow(flows=2, n_group=8, n_mels=80, use_conv1x1=False,
+                 memory_efficient=False, dilation_channels=8,
+                 residual_channels=8, skip_channels=8, bias=False)
+    with pytest.raises(NotImplementedError):
+        reverse_halo_frames(m)
