@@ -527,8 +527,8 @@ def test_torch_checkpoint_import_roundtrip(tmp_path):
     out_dir = str(tmp_path / "converted")
     r = subprocess.run(
         [_sys.executable, os.path.join(repo, "tools", "import_torch_ckpt.py"),
-         ckpt_file, out_dir], capture_output=True, text=True, cwd=repo,
-        timeout=900)
+         ckpt_file, out_dir, "--platform", "cpu"], capture_output=True,
+        text=True, cwd=repo, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
 
     from constant_memory_waveglow_tpu.utils.audio import save_wav

@@ -22,7 +22,16 @@ def main():
     p.add_argument("ckpt", help="reference Lightning .ckpt file")
     p.add_argument("out", help="output checkpoint directory")
     p.add_argument("--step", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform (e.g. cpu); conversion needs no "
+                        "accelerator, and a device backend that is slow or "
+                        "unavailable would stall it")
     args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     import jax.numpy as jnp
 
@@ -31,8 +40,6 @@ def main():
         import_lightning_checkpoint)
 
     params, config = import_lightning_checkpoint(args.ckpt)
-    import jax
-
     params = jax.tree_util.tree_map(jnp.asarray, params)
     state = {"params": params, "model_state": {},
              "step": jnp.asarray(args.step, jnp.int32)}
