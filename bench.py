@@ -53,10 +53,12 @@ def _device_kind():
 
 def _peak_flops():
     kind = _device_kind()
-    # longest prefix wins: 'TPU v5 lite' must resolve to the v5e entry,
-    # not fall through to the 'TPU v5' (v5p-class) prefix
+    if kind in _PEAK_FLOPS:  # exact device_kind first ('TPU v5' IS the
+        return _PEAK_FLOPS[kind]  # v5p-class entry, not a v5e truncation)
+    # then longest prefix: 'TPU v5 lite foo' resolves to the v5e entry,
+    # not the 'TPU v5' prefix
     for k in sorted(_PEAK_FLOPS, key=len, reverse=True):
-        if kind.startswith(k) or k.startswith(kind):
+        if kind.startswith(k):
             return _PEAK_FLOPS[k]
     return None
 
@@ -223,9 +225,19 @@ def main():
 
     baseline_khz = 470.0
     details = {"device": _device_kind(),
-               "vs_baseline_note": "cross-hardware: ref number is a GTX 1080 Ti"}
+               "vs_baseline_note": "cross-hardware AND cross-batch: the ref "
+                                   "number is a single-utterance run on a "
+                                   "GTX 1080 Ti; the headline is batched "
+                                   "(16) one-chip throughput, the BASELINE.md "
+                                   "target ('>470 kHz batched synthesis'); "
+                                   "synthesis_khz_b1 is the like-for-like "
+                                   "single-utterance figure"}
     khz = bench_synthesis()
     details["synthesis_khz_b16_fp32"] = round(khz, 1)
+    try:
+        details["synthesis_khz_b1"] = round(bench_synthesis(batch=1), 1)
+    except Exception as e:  # pragma: no cover - diagnostic only
+        details["synthesis_khz_b1"] = f"failed: {e}"
     try:
         a_s, tflops = bench_train_step(precision="high", with_flops=True)
         details["train_audio_s_per_s_b8"] = round(a_s, 2)

@@ -117,11 +117,19 @@ def restore_checkpoint(path, abstract_state):
 
 
 def prune_checkpoints(ckpt_dir, keep=3):
+    """Keep the newest ``keep`` COMMITTED checkpoints.
+
+    Uncommitted step dirs (an in-flight async save, or tmp residue from a
+    kill mid-save) must not occupy keep slots — counting them would shrink
+    the guaranteed committed retention below ``keep``.
+    """
     ckpt_dir = _dir(ckpt_dir)
-    if not os.path.isdir(ckpt_dir):
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
         return
-    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
-    for s in steps[:-keep]:
+    committed = sorted(
+        int(d) for d in os.listdir(ckpt_dir)
+        if d.isdigit() and os.path.isdir(os.path.join(ckpt_dir, d, "state")))
+    for s in committed[:-keep]:
         import shutil
 
         shutil.rmtree(os.path.join(ckpt_dir, str(s)), ignore_errors=True)

@@ -157,13 +157,17 @@ class DataLoader:
                 # this process's slice of global batch bi: example indices
                 # [bi*B + pid*local_b, bi*B + (pid+1)*local_b)
                 base = bi * self.batch_size + self.process_id * self.local_batch
-                if hasattr(self.dataset, "sample_batch"):
-                    batch = self.dataset.sample_batch(rng, self.local_batch, base)
-                else:
-                    batch = np.stack([
-                        self.dataset.sample(rng, base + j)
-                        for j in range(self.local_batch)
-                    ])
+                try:
+                    if hasattr(self.dataset, "sample_batch"):
+                        batch = self.dataset.sample_batch(rng, self.local_batch, base)
+                    else:
+                        batch = np.stack([
+                            self.dataset.sample(rng, base + j)
+                            for j in range(self.local_batch)
+                        ])
+                except BaseException as e:  # surface it; a silently-dead
+                    out_q.put((bi, e))      # worker would hang the consumer
+                    return
                 out_q.put((bi, batch))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
@@ -179,6 +183,9 @@ class DataLoader:
             for want in range(n_batches):
                 while want not in pending:
                     bi, batch = out_q.get()
+                    if isinstance(batch, BaseException):
+                        raise RuntimeError(
+                            f"data worker failed on batch {bi}") from batch
                     pending[bi] = batch
                 yield pending.pop(want)
         finally:

@@ -67,13 +67,29 @@ WavInfo parse_header(const char* path) {
       memcpy(&info.channels, fmt + 2, 2);
       memcpy(&info.sample_rate, fmt + 4, 4);
       memcpy(&info.bits, fmt + 14, 2);
-      if (info.format == 0xFFFE) info.format = 1;  // extensible: assume PCM
+      if (info.format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes of the SubFormat GUID at offset 24 of the chunk data;
+        // assuming PCM would decode extensible-float files as int garbage
+        uint8_t sub[2];
+        if (size >= 26 && read_exact(fd, sub, 2, off + 8 + 24)) {
+          memcpy(&info.format, sub, 2);
+        } else {
+          info.format = 0;  // unparseable -> reject (Python fallback decodes)
+        }
+      }
     } else if (memcmp(chunk, "data", 4) == 0) {
       info.data_offset = off + 8;
       uint32_t bytes_per_frame = info.channels * (info.bits / 8);
       if (bytes_per_frame) info.n_frames = (uint64_t)size / bytes_per_frame;
-      info.ok = info.channels > 0 && info.bits > 0 &&
-                (info.format == 1 || info.format == 3);
+      // only the widths decode_crop implements: anything else must be
+      // rejected here so the caller falls back to the scipy decoder instead
+      // of silently reading zeros
+      bool depth_ok =
+          (info.format == 1 && (info.bits == 8 || info.bits == 16 ||
+                                info.bits == 24 || info.bits == 32)) ||
+          (info.format == 3 && info.bits == 32);
+      info.ok = info.channels > 0 && depth_ok;
       break;
     }
     off += 8 + size + (size & 1);

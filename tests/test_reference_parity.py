@@ -542,6 +542,25 @@ def test_torch_checkpoint_import_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "out.wav"))
 
+    # the import is a FULL training checkpoint: --ckpt-path resumes from it
+    # (fresh Adam state is written, so the structural restore succeeds)
+    import json as _json
+
+    cfg2 = dict(config,
+                dataset={"type": "RandomWAVDataset",
+                         "args": {"data_dir": str(tmp_path), "size": 4,
+                                  "segment": 4096}},
+                data_loader={"batch_size": 2})
+    cfg_file = str(tmp_path / "resume.json")
+    with open(cfg_file, "w") as f:
+        _json.dump(cfg2, f)
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "train.py"), "--config", cfg_file,
+         "--ckpt-path", out_dir, "--platform", "cpu", "--max-steps", "1",
+         "--logdir", str(tmp_path / "resumed"), "--seed", "3"],
+        capture_output=True, text=True, cwd=repo, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
 
 @pytest.mark.parametrize("arch", ["WaveFlow", "WSRGlow"])
 def test_torch_state_dict_import_sparse_sequential(arch):

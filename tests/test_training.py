@@ -319,3 +319,22 @@ def test_bench_peak_flops_resolves_v5e():
             assert bench._peak_flops() == want, kind
     finally:
         bench._device_kind = orig
+
+
+def test_loader_surfaces_worker_exceptions(wav_dir, tmp_path):
+    """Regression (round-2 review): a worker that dies decoding a corrupt
+    file must raise in the training loop, not hang it forever (the claimed
+    batch index would never arrive at the ordered-yield consumer)."""
+    x = (np.sin(np.linspace(0, 100, 8000)) * 0.5).astype(np.float32)
+    for i in range(2):
+        save_wav(str(tmp_path / f"ok{i}.wav"), x, 22050)
+    with open(tmp_path / "corrupt.wav", "wb") as f:
+        f.write(b"RIFFxxxxWAVEjunkjunkjunk")
+    ds = build_dataset({"type": "RandomWAVDataset",
+                        "args": {"data_dir": str(tmp_path), "size": 64,
+                                 "segment": 4096}})
+    loader = DataLoader(ds, batch_size=8, num_workers=2, prefetch_factor=1,
+                        seed=0)
+    with pytest.raises(RuntimeError, match="data worker failed"):
+        for _ in loader.epoch(0):
+            pass

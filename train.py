@@ -176,13 +176,20 @@ def main():
             mesh, jax.device_get(jax.jit(exp.conditioner)(np.asarray(test_y)[None])))
 
     step = int(state["step"])
+    # resume restores the epoch position too (Lightning's trainer.fit
+    # semantics): --max-epochs is a TOTAL budget, not per-invocation, and
+    # per-epoch data seeds / reconstruction keys continue instead of
+    # replaying epoch 0
+    start_epoch = step // loader.steps_per_epoch
+    if start_epoch and is_main:
+        print(f"resuming at epoch {start_epoch} (step {step})")
     t0 = time.time()
     profiling = False
     watchdog = None
     if args.hang_timeout:
         from constant_memory_waveglow_tpu.utils.watchdog import HangWatchdog
         watchdog = HangWatchdog(args.hang_timeout).start()
-    for epoch in range(args.max_epochs):
+    for epoch in range(start_epoch, args.max_epochs):
         for batch in loader.epoch(epoch):
             if args.profile_steps and step == 2 and not profiling:
                 jax.profiler.start_trace(os.path.join(logdir, "profile"))

@@ -55,7 +55,10 @@ def main():
 
     config = checkpoint.load_config_from_checkpoint(args.ckpt)
     exp = Experiment(config)
-    state = checkpoint.restore_raw(args.ckpt)
+    # convert to the model's compute layout ONCE at load: scan_flows
+    # checkpoints are stored per-flow, and without this every re-jitted
+    # call (one per unique file length) restacks the params on device
+    state = exp.native_state(checkpoint.restore_raw(args.ckpt))
     params = fuse_weight_norms(exp._infer_params(state))
     model = exp.model
 
