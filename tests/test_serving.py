@@ -113,3 +113,42 @@ def test_serving_artifact_needs_no_model_code(tmp_path):
     h = np.zeros((1, 80, 8), np.float32)
     out = fn.call(z, h)
     assert out.shape == (1, 2048) and bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("family", ["WaveFlow", "MelGlow", "MRWaveGlow"])
+def test_other_families_export(tmp_path, family):
+    """Every family exports a length-polymorphic synthesis artifact."""
+    arch = {
+        "WaveFlow": {"type": "WaveFlow", "args": {
+            "flows": 2, "n_group": 8, "n_mels": 80, "use_conv1x1": True,
+            "memory_efficient": False, "dilation_channels": 8,
+            "residual_channels": 8, "skip_channels": 8, "bias": False}},
+        "MelGlow": {"type": "MelGlow", "args": {
+            "flows": 2, "n_group": 8, "n_early_every": 4, "n_early_size": 2,
+            "hop_size": 256, "n_mels": 80, "memory_efficient": False,
+            "dilation_channels": 8, "residual_channels": 8,
+            "skip_channels": 8, "depth": 2, "radix": 3,
+            "predict_channels": 8, "predict_layers": 1, "bias": False}},
+        "MRWaveGlow": {"type": "MRWaveGlow", "args": {
+            "flows": 2, "prior_flows": 2, "n_group": 8, "hop_size": 256,
+            "n_mels": 80, "levels": 2, "memory_efficient": False,
+            "dilation_channels": 8, "residual_channels": 8,
+            "skip_channels": 8, "depth": 2, "radix": 3, "bias": False}},
+    }[family]
+    cfg = dict(WG_CFG, name=f"serve_{family}", arch=arch)
+    exp, state, ckpt = _make_ckpt(tmp_path, cfg)
+    art = str(tmp_path / "art")
+    meta = export_serving(ckpt, art, platforms=("cpu",), with_analysis=False)
+    assert meta["family"] == family
+
+    served = ServingModel(art)
+    params = fuse_weight_norms(exp._infer_params(state))
+    for frames in (8, 12):
+        z = np.asarray(jax.random.normal(jax.random.PRNGKey(1),
+                                         (1, 256 * frames)), np.float32)
+        h = np.asarray(jax.random.normal(jax.random.PRNGKey(2),
+                                         (1, 80, frames)), np.float32)
+        got = served.synthesize(z, h)
+        want, _ = exp.model.reverse_computation(params, jnp.asarray(z),
+                                                jnp.asarray(h))
+        assert float(jnp.abs(got - want.reshape(got.shape)).max()) < 1e-6
