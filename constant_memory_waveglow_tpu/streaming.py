@@ -9,11 +9,11 @@ least the model's reverse receptive field on both sides, and only the core is
 kept.  At utterance boundaries the halo is clamped, so the chunk edge *is*
 the true edge and the convs' zero padding matches the full pass exactly.
 
-Supported: WaveGlow and WSRGlow (the serving-relevant families; their
-time-domain receptive field is a closed form below).  WaveFlow / MelGlow /
-MRWaveGlow raise — their halos are respectively impractically large
+Supported: WaveGlow, WSRGlow, and MelGlow (the serving-relevant families;
+their time-domain receptive field is a closed form below).  WaveFlow /
+MRWaveGlow raise — the halos are respectively impractically large
 (sum(dilations)=255 per layer stack at T'-rate, ~6 s/side at n_group 64) or
-not closed-form here.
+not closed-form here (multi-level band recursion).
 """
 
 from __future__ import annotations
@@ -35,13 +35,20 @@ def reverse_halo_frames(model) -> int:
     of reach; WSRGlow's STFT conditioner (hop 8, n_fft 16, reflect pad 4)
     adds one low-rate frame.  Both are covered by the +2 margin.
     """
+    from .models.melglow import MelGlow
     from .models.waveglow import WaveGlow
 
-    if not isinstance(model, WaveGlow):  # WSRGlow subclasses WaveGlow
+    if isinstance(model, WaveGlow):  # WSRGlow subclasses WaveGlow
+        wn = model.WNs[0].F  # AffineCouplingBlock wraps the WN
+    elif isinstance(model, MelGlow):
+        # LVC dilations are in squeezed steps like WaveGlow's; the kernel
+        # Predictor is pointwise over frames (1x1 convs + inference-mode BN),
+        # so the cond adds no reach beyond its own frame
+        wn = model.couplings[False][0].F
+    else:
         raise NotImplementedError(
-            f"streaming synthesis supports the WaveGlow family; "
+            f"streaming synthesis supports WaveGlow/WSRGlow/MelGlow; "
             f"{type(model).__name__}'s reverse halo is not closed-form here")
-    wn = model.WNs[0].F  # AffineCouplingBlock wraps the WN
     half = sum(wn.dilations) * (wn.radix - 1) // 2
     halo_samples = model.flows * half * model.n_group
     return math.ceil(halo_samples / model._hop_length) + 2

@@ -74,3 +74,26 @@ def test_streaming_unsupported_family_raises():
                  residual_channels=8, skip_channels=8, bias=False)
     with pytest.raises(NotImplementedError):
         reverse_halo_frames(m)
+
+
+def test_melglow_streaming_matches_full_pass():
+    """MelGlow's LVC halo is closed-form too: the kernel predictor is
+    pointwise over frames, so chunking kernels with the conditioner is
+    exact."""
+    from constant_memory_waveglow_tpu.models import MelGlow
+
+    m = MelGlow(flows=3, n_group=8, n_early_every=2, n_early_size=2,
+                hop_size=256, n_mels=80, memory_efficient=True,
+                dilation_channels=16, residual_channels=16, skip_channels=16,
+                depth=3, radix=3, predict_channels=8, predict_layers=1,
+                bias=False)
+    v = m.init(jax.random.PRNGKey(0))
+    params = {"params": v["params"], "state": v["state"]}
+    frames = 21
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, 80, frames))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, frames * 256))
+
+    full, _ = m.reverse(params, z, h)
+    chunked = synthesize_streaming(m, params, h, z=z, chunk_frames=5)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
