@@ -9,11 +9,12 @@ least the model's reverse receptive field on both sides, and only the core is
 kept.  At utterance boundaries the halo is clamped, so the chunk edge *is*
 the true edge and the convs' zero padding matches the full pass exactly.
 
-Supported: WaveGlow, WSRGlow, and MelGlow (the serving-relevant families;
-their time-domain receptive field is a closed form below).  WaveFlow /
-MRWaveGlow raise — the halos are respectively impractically large
-(sum(dilations)=255 per layer stack at T'-rate, ~6 s/side at n_group 64) or
-not closed-form here (multi-level band recursion).
+Supported: WaveGlow, WSRGlow, MelGlow, and MRWaveGlow (the serving-relevant
+families; their time-domain receptive field is a closed form below —
+MRWaveGlow's band recursion splits *channels*, so its time axis stays at
+T'-rate and the halo is the WaveGlow form over all level + prior flows).
+WaveFlow raises — its halo is impractically large (sum(dilations)=255 per
+layer stack at T'-rate, ~6 s/side at n_group 64).
 """
 
 from __future__ import annotations
@@ -36,8 +37,10 @@ def reverse_halo_frames(model) -> int:
     adds one low-rate frame.  Both are covered by the +2 margin.
     """
     from .models.melglow import MelGlow
+    from .models.mr_waveglow import MRWaveGlow
     from .models.waveglow import WaveGlow
 
+    n_flows = model.flows
     if isinstance(model, WaveGlow):  # WSRGlow subclasses WaveGlow
         wn = model.WNs[0].F  # AffineCouplingBlock wraps the WN
     elif isinstance(model, MelGlow):
@@ -45,12 +48,22 @@ def reverse_halo_frames(model) -> int:
         # Predictor is pointwise over frames (1x1 convs + inference-mode BN),
         # so the cond adds no reach beyond its own frame
         wn = model.couplings[False][0].F
+    elif isinstance(model, MRWaveGlow):
+        # the Haar pyramid splits CHANNELS of the squeezed view
+        # (mr_waveglow.py:104, x[:, ::2]); time stays at T'-rate for every
+        # level, so reaches just add over the whole reverse chain: prior
+        # flows + flows at each of levels-1 band levels (all WNs share
+        # wn_kwargs, hence one dilation schedule).  The +2 margin also
+        # covers the half-pixel linear mel upsampler (reach < 1 frame).
+        wn = model.prior_WNs[0].F
+        n_flows = model.flows * (model.levels - 1) + model.prior_flows
     else:
         raise NotImplementedError(
-            f"streaming synthesis supports WaveGlow/WSRGlow/MelGlow; "
-            f"{type(model).__name__}'s reverse halo is not closed-form here")
+            f"streaming synthesis supports WaveGlow/WSRGlow/MelGlow/"
+            f"MRWaveGlow; {type(model).__name__}'s reverse halo is "
+            f"impractically large or not closed-form here")
     half = sum(wn.dilations) * (wn.radix - 1) // 2
-    halo_samples = model.flows * half * model.n_group
+    halo_samples = n_flows * half * model.n_group
     return math.ceil(halo_samples / model._hop_length) + 2
 
 

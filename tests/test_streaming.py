@@ -97,3 +97,30 @@ def test_melglow_streaming_matches_full_pass():
     chunked = synthesize_streaming(m, params, h, z=z, chunk_frames=5)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                atol=1e-5)
+
+
+def test_mr_waveglow_streaming_matches_full_pass():
+    """MRWaveGlow's Haar pyramid splits channels, not time — the closed-form
+    halo covers all level + prior flows at the unchanged T'-rate."""
+    from constant_memory_waveglow_tpu.models import MRWaveGlow
+
+    m = MRWaveGlow(prior_flows=2, n_group=8, hop_size=256, n_mels=80,
+                   memory_efficient=True, levels=3, flows=2,
+                   zero_init=False, dilation_channels=16,
+                   residual_channels=16, skip_channels=16, depth=3,
+                   radix=3, bias=False)
+    params = m.init(jax.random.PRNGKey(0))
+    frames = 25  # not a multiple of chunk_frames: clamped boundary + tail
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 80, frames))
+    z = 0.7 * jax.random.normal(jax.random.PRNGKey(2), (2, frames * 256))
+
+    full, _ = m.reverse(params, z, h)
+    chunked = synthesize_streaming(m, params, h, z=z, chunk_frames=6)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+    # halo sensitivity: too-small halos must visibly break equality
+    bad = synthesize_streaming(m, params, h, z=z, chunk_frames=6,
+                               halo_frames=0)
+    assert float(jnp.abs(bad - full).max()) > 1e-3
