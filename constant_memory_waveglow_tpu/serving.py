@@ -123,6 +123,14 @@ def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
             f.write(e_ana.serialize())
         exported["analysis"] = ANALYSIS_FILE
 
+    # halo for model-code-free chunked synthesis at load time
+    # (streaming.synthesize_streaming_serving)
+    from .models.wsrglow import WSRGlow
+    from .streaming import reverse_halo_frames
+    try:
+        halo_frames = reverse_halo_frames(model)
+    except NotImplementedError:
+        halo_frames = None
     meta = {
         "family": config["arch"]["type"],
         "name": config.get("name"),
@@ -132,6 +140,9 @@ def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
         "contract": contract,
         "functions": exported,
         "step": int(np.asarray(state["step"])) if "step" in state else None,
+        "halo_frames": halo_frames,
+        "cond_unit": 8 if isinstance(model, WSRGlow) else 1,
+        "frame_samples": model._hop_length,
     }
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(meta, f, indent=1)

@@ -105,7 +105,12 @@ def synthesize_streaming(model, params, h, key=None, z=None, sigma=1.0, *,
         z = sigma * jax.random.normal(key, (batch, frames * hop), h.dtype)
 
     fn = jax.jit(lambda p, zz, hh: model.reverse(p, zz, hh)[0])
+    return _chunk_loop(lambda zc, hc: fn(params, zc, hc), z, h, frames,
+                       f_unit, hop, chunk_frames, halo_frames)
 
+
+def _chunk_loop(reverse_call, z, h, frames, f_unit, hop, chunk_frames,
+                halo_frames):
     outs = []
     for start in range(0, frames, chunk_frames):
         end = min(start + chunk_frames, frames)
@@ -113,6 +118,48 @@ def synthesize_streaming(model, params, h, key=None, z=None, sigma=1.0, *,
         hi = min(frames, end + halo_frames)
         zc = z[:, lo * hop : hi * hop]
         hc = h[..., lo * f_unit : hi * f_unit]
-        xc = fn(params, zc, hc)
+        xc = reverse_call(zc, hc)
         outs.append(xc[:, (start - lo) * hop : (end - lo) * hop])
     return jnp.concatenate(outs, axis=1)
+
+
+def synthesize_streaming_serving(served, h, key=None, z=None, sigma=1.0, *,
+                                 chunk_frames, halo_frames=None):
+    """Constant-memory synthesis through a :class:`~.serving.ServingModel`.
+
+    The deployment composition from docs/design.md §8: the serving artifact
+    (symbolic time axis, zero model code at load) plus the overlap-discard
+    chunker.  The halo ships in the artifact's ``meta.json`` (recorded by
+    ``export_serving``), so the loading host needs neither the config nor
+    the model class.  ``h`` must have the artifact's baked batch size;
+    chunk/halo sizes must respect the artifact's minimum symbolic length
+    (``f >= 4`` mel frames / ``f >= 2`` WSRGlow frames — any practical halo
+    already does).
+    """
+    meta = served.meta
+    if halo_frames is None:
+        halo_frames = meta.get("halo_frames")
+        if halo_frames is None:
+            raise ValueError(
+                f"artifact for {meta.get('family')} records no halo_frames "
+                "(family unsupported by streaming, or a pre-halo export); "
+                "pass halo_frames= explicitly")
+    f_unit = meta["cond_unit"]
+    hop = meta["frame_samples"]
+
+    h = jnp.asarray(h)
+    if h.ndim == (1 if f_unit > 1 else 2):
+        h = h[None]
+    if h.shape[0] != meta["batch"]:
+        raise ValueError(f"artifact is baked for batch {meta['batch']}, "
+                         f"got {h.shape[0]}")
+    frames = h.shape[-1] // f_unit
+
+    if z is None:
+        if key is None:
+            raise ValueError("pass key= or z=")
+        z = sigma * jax.random.normal(
+            key, (h.shape[0], frames * hop), jnp.dtype(meta["dtype"]))
+
+    return _chunk_loop(served.synthesize, z, h, frames, f_unit, hop,
+                       chunk_frames, halo_frames)

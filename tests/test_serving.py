@@ -152,3 +152,33 @@ def test_other_families_export(tmp_path, family):
         want, _ = exp.model.reverse_computation(params, jnp.asarray(z),
                                                 jnp.asarray(h))
         assert float(jnp.abs(got - want.reshape(got.shape)).max()) < 1e-6
+
+
+def test_streaming_through_serving_artifact(tmp_path):
+    """Constant-memory deployment composition: the chunker driven by a
+    ServingModel alone, halo read from meta.json — zero model code."""
+    from constant_memory_waveglow_tpu.streaming import (
+        synthesize_streaming_serving)
+
+    exp, state, ckpt = _make_ckpt(tmp_path, WG_CFG)
+    art = str(tmp_path / "art_stream")
+    meta = export_serving(ckpt, art, platforms=("cpu",))
+    assert meta["halo_frames"] and meta["halo_frames"] >= 1
+    assert meta["frame_samples"] == 256 and meta["cond_unit"] == 1
+
+    served = ServingModel(art)
+    frames = 23
+    z = 0.7 * jax.random.normal(jax.random.PRNGKey(1), (1, 256 * frames))
+    h = jax.random.normal(jax.random.PRNGKey(2), (1, 80, frames))
+
+    full = served.synthesize(np.asarray(z), np.asarray(h))
+    chunked = synthesize_streaming_serving(served, h, z=z, chunk_frames=6)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+    # wrong batch is a clear error, not a silent broadcast
+    with pytest.raises(ValueError):
+        synthesize_streaming_serving(
+            served, jnp.concatenate([h, h]), z=jnp.concatenate([z, z]),
+            chunk_frames=6)
