@@ -16,10 +16,12 @@ single scalar fetch at the end forces the whole chain and dispatch overhead
 amortizes to nothing.  (Round-1 timed single dispatches minus a measured
 null-dispatch constant; VERDICT.md round 1, weak #4, asked for this.)
 
-Precision: training numbers are reported at the trainer's actual default
-(``train.py --precision high``, the TF32 analog) and additionally at
-``default`` (bf16 MXU passes).  Synthesis is benched fp32-params at
-``default`` precision, matching ``inference.py`` defaults.
+Precision: the headline training number is the trainer's SHIPPED default
+(``train.py`` with no flags = AMP: bf16 compute, fp32 master params,
+'default' matmul precision — the evidence-backed fast path, see
+``samples/waveglow_lj_256ch_amp``), with the conservative ``--fp32`` path
+reported alongside.  Synthesis is benched fp32-params at ``default``
+precision, matching ``inference.py`` defaults.
 """
 
 from __future__ import annotations
@@ -239,7 +241,11 @@ def main():
     except Exception as e:  # pragma: no cover - diagnostic only
         details["synthesis_khz_b1"] = f"failed: {e}"
     try:
-        a_s, tflops = bench_train_step(precision="high", with_flops=True)
+        # the SHIPPED trainer default (train.py with no flags): AMP (bf16
+        # compute, fp32 master params) at 'default' matmul precision
+        a_s, tflops = bench_train_step(precision="default",
+                                       compute_dtype="bfloat16",
+                                       with_flops=True)
         details["train_audio_s_per_s_b8"] = round(a_s, 2)
         if tflops:
             details["train_tflops_per_s"] = round(tflops, 1)
@@ -247,18 +253,15 @@ def main():
             if peak:
                 details["train_mfu_est_vs_bf16_peak"] = round(
                     tflops * 1e12 / peak, 3)
-        details["train_audio_s_per_s_b8_bf16pass"] = round(
-            bench_train_step(precision="default")[0], 2)
-        # AMP: bf16 activations + fp32 master params (train.py --bf16-compute)
-        details["train_audio_s_per_s_b8_amp"] = round(
-            bench_train_step(precision="default",
-                             compute_dtype="bfloat16")[0], 2)
+        # the conservative opt-out (train.py --fp32): fp32 compute, 'high'
+        details["train_audio_s_per_s_b8_fp32"] = round(
+            bench_train_step(precision="high")[0], 2)
         # the reference's headline config is batch 24 (README.md:53-57)
         details["train_audio_s_per_s_b24"] = round(
-            bench_train_step(batch=24, precision="high", n=6)[0], 2)
-        details["train_audio_s_per_s_b24_amp"] = round(
             bench_train_step(batch=24, precision="default",
                              compute_dtype="bfloat16", n=6)[0], 2)
+        details["train_audio_s_per_s_b24_fp32"] = round(
+            bench_train_step(batch=24, precision="high", n=6)[0], 2)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
@@ -267,18 +270,31 @@ def main():
         details["waveflow_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         # constant-memory headline: XLA peak temp at the reference's README
-        # table config (ch256, bs24; README.md:53-57 reports 4951 MB total)
+        # table config (ch256, bs24; README.md:53-57 reports 4951 MB total),
+        # measured as a SERIES over flow counts so the flat-in-depth claim
+        # is machine-checked every round (slope ~0 MB/flow; the reference's
+        # naive baseline grows ~linearly and did not fit at 12 flows)
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
         from memory_check import peak_temp_bytes
         from constant_memory_waveglow_tpu.ops import set_default_precision
         set_default_precision("highest")  # tools/memory_check.py default
-        temp, total = peak_temp_bytes(flows=12, channels=256, depth=8,
-                                      batch=24, segment=16000,
-                                      memory_efficient=True)
-        if temp is not None:
-            details["train_peak_temp_mb_ch256_bs24"] = round(temp / 2**20, 1)
-            details["train_peak_total_mb_ch256_bs24"] = round(total / 2**20, 1)
+        flows_series, temps = [4, 8, 12, 16], []
+        for nf in flows_series:
+            temp, total = peak_temp_bytes(flows=nf, channels=256, depth=8,
+                                          batch=24, segment=16000,
+                                          memory_efficient=True)
+            temps.append(temp)
+            if temp is not None and nf == 12:
+                details["train_peak_temp_mb_ch256_bs24"] = round(temp / 2**20, 1)
+                details["train_peak_total_mb_ch256_bs24"] = round(total / 2**20, 1)
+        if all(t is not None for t in temps):
+            details["train_peak_temp_mb_by_flows"] = {
+                str(nf): round(t / 2**20, 1)
+                for nf, t in zip(flows_series, temps)}
+            details["train_peak_temp_mb_per_flow_slope"] = round(
+                (temps[-1] - temps[0]) / (flows_series[-1] - flows_series[0])
+                / 2**20, 2)
     except Exception as e:
         details["memcheck_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants

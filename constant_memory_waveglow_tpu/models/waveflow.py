@@ -344,6 +344,65 @@ class WaveFlow(FlowBase):
 
         return self._unsqueeze(x), logdet
 
+    def _flow_inverse_fused(self, wn, wn_params, z, y, *, use_vmem, fast):
+        """One flow's AR inverse via the fused Pallas kernels (v2 VMEM when
+        ``use_vmem``, else v1 DMA).  z: [B, 1, G, W] -> (x [B, 1, G, W],
+        logdet contribution [B])."""
+        from ..ops.pallas import ar_step as _ar
+
+        b, _, g, w = z.shape
+        w_pad = ((w + 127) // 128) * 128
+        # DMA/lane dim must be 128-aligned: run the kernel at padded
+        # width and slice the (zero-padded, conv-local) results back
+        packed = _ar.pack_ar_weights(wn_params)
+        cond_all = conv1x1(y, wn_weight(wn_params["V"]["w"]))
+        cond_all = jnp.pad(cond_all, [(0, 0), (0, 0), (0, w_pad - w)])
+        hds, ds = tuple(wn.h_dilations), tuple(wn.dilations)
+
+        z_in = jnp.pad(z[:, 0], [(0, 0), (0, 0), (0, w_pad - w)])
+        if use_vmem:  # v2: VMEM-resident whole-flow kernel
+            x_rows, log_rows = _ar.fused_ar_flow_vmem(
+                packed, z_in, cond_all, h_dilations=hds,
+                dilations=ds, residual=wn.residual_channels,
+                skip=wn.skip_channels, interpret=_ar._INTERPRET,
+                fast=fast, true_w=w)
+            ld = -log_rows[..., :w].sum((1, 2))
+            return jnp.concatenate([z[:, :, :1], x_rows[:, None, 1:, :w]], 2), ld
+        x_rows, log_rows = _ar.fused_ar_flow(
+            packed, z_in[:, :, None, :], cond_all, h_dilations=hds,
+            dilations=ds, residual=wn.residual_channels,
+            skip=wn.skip_channels, interpret=_ar._INTERPRET,
+            fast=fast, true_w=w)
+        ld = -log_rows[..., :w].sum((1, 2, 3))
+        return jnp.concatenate(
+            [z[:, :, :1], x_rows[:, 1:, :, :w].transpose(0, 2, 1, 3)], 2), ld
+
+    def _flow_inverse_scan(self, wn, wn_params, z, y):
+        """One flow's AR inverse as an XLA ``lax.scan`` over height rows
+        (per-layer conv ring buffers in the carry).  Same signature as
+        :meth:`_flow_inverse_fused`."""
+        b, _, g, w = z.shape
+        x0 = z[:, :, :1]  # first row passes through
+        cond = wn._cond_chunks(wn_params, y)
+        buffers = wn.init_buffers(b, w, z.dtype)
+
+        def step(carry, inp):
+            z_row, s = inp
+            x_prev, buffers, ld = carry
+            log_s, t, buffers = wn.ar_step(wn_params, x_prev, cond,
+                                           buffers, s)
+            x_new = (z_row - t) * jnp.exp(-log_s)
+            ld = ld - log_s.sum((1, 2, 3))
+            return (x_new, buffers, ld), x_new
+
+        carry0 = (x0, buffers, jnp.zeros((b,), z.dtype))
+
+        z_rows = jnp.moveaxis(z[:, :, 1:], 2, 0)[:, :, :, None, :]  # [G-1, B, 1, 1, W]
+        (x_last, _, ld), xs = jax.lax.scan(
+            step, carry0, (z_rows, jnp.arange(g - 1)))
+        rows = jnp.moveaxis(xs[:, :, :, 0], 0, 2)  # [B, 1, G-1, W]
+        return jnp.concatenate([x0, rows], 2), ld
+
     def reverse_computation(self, params, z, h):
         # the AR inverse is unrolled per flow (each launches the fused
         # Pallas kernel); consume the canonical per-flow layout
@@ -352,6 +411,15 @@ class WaveFlow(FlowBase):
         z = self._squeeze(z)
         y = y[..., : z.shape[-1]]
         b, _, g, w = z.shape
+
+        from ..ops.convs import get_default_precision
+        from ..ops.pallas import ar_step as _ar
+
+        # symbolic-shape exports (serving artifacts with a symbolic time
+        # axis) can only take the scan path: Pallas block shapes are static
+        static_w = isinstance(w, int)
+        w_pad = ((w + 127) // 128) * 128 if static_w else None
+        fast = get_default_precision() in (jax.lax.Precision.DEFAULT,)
 
         logdet = jnp.zeros((b,), z.dtype)
         for k in range(self.flows - 1, -1, -1):
@@ -365,68 +433,33 @@ class WaveFlow(FlowBase):
 
             wn = self.WNs[k]
             wn_params = params["WNs"][k]
-            x0 = z[:, :, :1]  # first row passes through
 
-            from ..ops.pallas import ar_step as _ar
-
-            from ..ops.convs import get_default_precision
-
-            w_pad = ((w + 127) // 128) * 128
-            fast = get_default_precision() in (jax.lax.Precision.DEFAULT,)
-            fused_ok = ((_ar.fused_ar_enabled() or _ar._INTERPRET)
-                        and "b" not in wn_params["V"])
-            use_vmem = fused_ok and _ar.flow_vmem_supported(
+            kernel_ok = static_w and "b" not in wn_params["V"]
+            use_vmem = kernel_ok and _ar.flow_vmem_supported(
                 wn, w_pad, g, z.dtype, fast)
-            use_fused = fused_ok and _ar.ar_step_supported(wn, w, z.dtype)
-            if use_vmem or use_fused:
-                # DMA/lane dim must be 128-aligned: run the kernel at padded
-                # width and slice the (zero-padded, conv-local) results back
-                packed = _ar.pack_ar_weights(wn_params)
-                cond_all = conv1x1(y, wn_weight(wn_params["V"]["w"]))
-                cond_all = jnp.pad(cond_all, [(0, 0), (0, 0), (0, w_pad - w)])
-                hds, ds = tuple(wn.h_dilations), tuple(wn.dilations)
+            use_dma = kernel_ok and _ar.ar_step_supported(wn, w, z.dtype)
+            mode = _ar.fused_ar_mode()
+            if not (use_vmem or use_dma):
+                mode = "off"
 
-                z_in = jnp.pad(z[:, 0], [(0, 0), (0, 0), (0, w_pad - w)])
-                if use_vmem:  # v2: VMEM-resident whole-flow kernel
-                    x_rows, log_rows = _ar.fused_ar_flow_vmem(
-                        packed, z_in, cond_all, h_dilations=hds,
-                        dilations=ds, residual=wn.residual_channels,
-                        skip=wn.skip_channels, interpret=_ar._INTERPRET,
-                        fast=fast, true_w=w)
-                    logdet = logdet - log_rows[..., :w].sum((1, 2))
-                    z = jnp.concatenate(
-                        [z[:, :, :1], x_rows[:, None, 1:, :w]], 2)
-                    continue
-                x_rows, log_rows = _ar.fused_ar_flow(
-                    packed, z_in[:, :, None, :], cond_all, h_dilations=hds,
-                    dilations=ds, residual=wn.residual_channels,
-                    skip=wn.skip_channels, interpret=_ar._INTERPRET,
-                    fast=fast, true_w=w)
-                logdet = logdet - log_rows[..., :w].sum((1, 2, 3))
-                z = jnp.concatenate([z[:, :, :1],
-                                     x_rows[:, 1:, :, :w].transpose(0, 2, 1, 3)], 2)
-                continue
+            def fused_flow(p, zz, yy, *, wn=wn, uv=use_vmem):
+                return self._flow_inverse_fused(wn, p, zz, yy,
+                                                use_vmem=uv, fast=fast)
 
-            # XLA lax.scan fallback path
-            cond = wn._cond_chunks(wn_params, y)
-            buffers = wn.init_buffers(b, w, z.dtype)
+            def scan_flow(p, zz, yy, *, wn=wn):
+                return self._flow_inverse_scan(wn, p, zz, yy)
 
-            def step(carry, inp):
-                z_row, s = inp
-                x_prev, buffers, ld = carry
-                log_s, t, buffers = wn.ar_step(wn_params, x_prev, cond,
-                                               buffers, s)
-                x_new = (z_row - t) * jnp.exp(-log_s)
-                ld = ld - log_s.sum((1, 2, 3))
-                return (x_new, buffers, ld), x_new
-
-            carry0 = (x0, buffers, jnp.zeros((b,), z.dtype))
-
-            z_rows = jnp.moveaxis(z[:, :, 1:], 2, 0)[:, :, :, None, :]  # [G-1, B, 1, 1, W]
-            (x_last, _, ld), xs = jax.lax.scan(
-                step, carry0, (z_rows, jnp.arange(g - 1)))
+            if mode == "on":
+                z, ld = fused_flow(wn_params, z, y)
+            elif mode == "off":
+                z, ld = scan_flow(wn_params, z, y)
+            else:
+                # auto: branch on the LOWERING platform (not the host
+                # backend), so a serving artifact exported from a CPU-only
+                # host for platforms=("tpu", ...) contains the fused kernel
+                # on its TPU branch and the scan on every other platform
+                z, ld = jax.lax.platform_dependent(
+                    wn_params, z, y, tpu=fused_flow, default=scan_flow)
             logdet = logdet + ld
-            rows = jnp.moveaxis(xs[:, :, :, 0], 0, 2)  # [B, 1, G-1, W]
-            z = jnp.concatenate([x0, rows], 2)
 
         return self._unsqueeze(z), logdet

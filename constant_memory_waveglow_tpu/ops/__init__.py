@@ -10,7 +10,7 @@ from .convs import (
 from .weightnorm import wn_init, wn_weight, fuse_weight_norms
 from .gate import gated_tanh
 from .stft import stft_magnitude, MelSpec, mel_filterbank, hann_window
-from .lowpass import LowPass, STFTDecimate
+from .lowpass import LowPass, SincDecimate, STFTDecimate
 from .mulaw import mu_law_encode
 
 __all__ = [
@@ -31,5 +31,6 @@ __all__ = [
     "hann_window",
     "LowPass",
     "STFTDecimate",
+    "SincDecimate",
     "mu_law_encode",
 ]

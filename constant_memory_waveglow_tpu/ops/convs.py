@@ -80,8 +80,55 @@ def conv1d(x, w, *, dilation=1, padding="same", groups=1, precision=None):
     )
 
 
+# Two lowerings of the pointwise conv, selected per trace (both MXU GEMMs,
+# numerically identical at a given precision, very different layouts):
+#
+# * 'dot': dot_general over channels.  Fastest for the grad-free
+#   reverse/synthesis pass (measured 3.4 MHz vs 1.1 MHz batched flagship
+#   synthesis on a v5e).
+# * 'conv': K=1 conv_general_dilated.  Fastest inside the TRAINING step:
+#   the conv emitters' layouts agree with the surrounding dilated convs'
+#   (the dot form forces {1,2,0}<->{1,0,2} relayout copies around every WN
+#   layer), and its weight-gradient — a contraction over batch AND time —
+#   lowers to a proper conv transpose instead of a degenerate one.
+#   Measured on the flagship AMP train step (v5e): 79.9 -> 94.5 audio-s/s
+#   at batch 8, 75.8 -> 87.1 at batch 24.
+#
+# The training step wraps its trace in ``conv1x1_impl('conv')``
+# (training/experiment.py); everything else defaults to 'dot'.
+_CONV1X1_IMPL = "dot"
+
+
+class conv1x1_impl:
+    """Context manager selecting the conv1x1 lowering for traces under it."""
+
+    def __init__(self, impl):
+        assert impl in ("dot", "conv"), impl
+        self.impl = impl
+
+    def __enter__(self):
+        global _CONV1X1_IMPL
+        self._prev = _CONV1X1_IMPL
+        _CONV1X1_IMPL = self.impl
+
+    def __exit__(self, *exc):
+        global _CONV1X1_IMPL
+        _CONV1X1_IMPL = self._prev
+
+
 def conv1x1(x, w, *, precision=None):
-    """Pointwise conv as a GEMM.  x: [B, Cin, T], w: [Cout, Cin] -> [B, Cout, T]."""
+    """Pointwise conv.  x: [B, Cin, T], w: [Cout, Cin] -> [B, Cout, T]."""
+    if _CONV1X1_IMPL == "conv":
+        if w.ndim == 2:
+            w = w[:, :, None]
+        return lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=_prec(precision),
+        )
     if w.ndim == 3:  # accept [Cout, Cin, 1]
         w = w[..., 0]
     return lax.dot_general(

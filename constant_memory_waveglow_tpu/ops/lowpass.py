@@ -51,3 +51,42 @@ class STFTDecimate(LowPass):
 
     def __call__(self, x):
         return super().__call__(x, 0)[..., :: self.r]
+
+
+class SincDecimate:
+    """Kaiser-windowed sinc decimation — the ``kazane.Decimate`` analog the
+    reference eval CLI offers as ``--downsample-type sinc``
+    (``vctk_wsrglow_infer.py:46-58``), with the same calibration: roll-off
+    0.962, 128 zero crossings, symmetric kaiser window with beta 14.7697
+    (torch.kaiser_window(periodic=False)).
+
+    The kernel is ``sinc(t * roll_off / q) * kaiser(n, beta) * roll_off / q``
+    over ``n = 2 * num_zeros * q + 1`` taps centered at 0, applied with
+    stride ``q`` and symmetric zero padding of ``num_zeros * q`` — output
+    sample i is the filtered input at position ``i*q`` and the output length
+    is ``ceil(T / q)``.  Cutoff = ``roll_off`` x the output Nyquist.  On TPU
+    this is one strided conv on the MXU.
+    """
+
+    def __init__(self, q, num_zeros=128, roll_off=0.962,
+                 beta=14.769656459379492):
+        self.q = q
+        n = 2 * num_zeros * q + 1
+        t = (np.arange(n) - (n - 1) / 2) * roll_off / q
+        kernel = np.sinc(t) * np.kaiser(n, beta) * roll_off / q
+        self.kernel = jnp.asarray(kernel, jnp.float32)
+        self.pad = num_zeros * q
+
+    def __call__(self, x):
+        """x: [..., T] -> [..., ceil(T/q)]."""
+        from jax import lax
+
+        orig_shape = x.shape
+        t = orig_shape[-1]
+        x = x.reshape(-1, 1, t)
+        y = lax.conv_general_dilated(
+            x, self.kernel[None, None, :], window_strides=(self.q,),
+            padding=[(self.pad, self.pad)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=lax.Precision.HIGHEST)
+        return y.reshape(orig_shape[:-1] + (y.shape[-1],))

@@ -35,11 +35,14 @@ ANALYSIS_FILE = "analysis.jaxexport"
 META_FILE = "meta.json"
 
 
-def _specs(model, batch, dtype):
-    """Input ShapeDtypeStructs with a symbolic time axis, per family.
+def _specs(model, batch, dtype, frames=None):
+    """Input ShapeDtypeStructs with a symbolic (default) or fixed time axis.
 
     Returns (z_spec, h_spec, contract) where contract documents the shape
-    relation for meta.json.
+    relation for meta.json.  ``frames``: bake a CONCRETE frame count instead
+    of the symbolic axis — required to embed the WaveFlow fused Pallas AR
+    kernel (static block shapes); pairs with the fixed-chunk streaming
+    chunker (:mod:`.streaming`).
     """
     from jax import export
 
@@ -50,7 +53,11 @@ def _specs(model, batch, dtype):
         # mu-law embedding regroups 8 samples/frame); output is r x longer.
         # It is quantized in-model, so it stays fp32 whatever the compute
         # dtype (see FlowBase.quantized_cond).
-        (f,) = export.symbolic_shape("f", constraints=["f >= 2"])
+        if frames is None:
+            (f,) = export.symbolic_shape("f", constraints=["f >= 2"])
+        else:
+            f = int(frames)
+            assert f >= 2
         r = model.upsample_rate
         z = jax.ShapeDtypeStruct((batch, 8 * r * f), dtype)
         h = jax.ShapeDtypeStruct((batch, 8 * f), jnp.float32)
@@ -58,7 +65,11 @@ def _specs(model, batch, dtype):
                     "z": f"[{batch}, {8 * r}*f]",
                     "audio": f"[{batch}, {8 * r}*f]"}
     else:
-        (f,) = export.symbolic_shape("f", constraints=["f >= 4"])
+        if frames is None:
+            (f,) = export.symbolic_shape("f", constraints=["f >= 4"])
+        else:
+            f = int(frames)
+            assert f >= 4
         hop = model._hop_length
         n_mels = model.n_mels
         z = jax.ShapeDtypeStruct((batch, hop * f), dtype)
@@ -66,16 +77,27 @@ def _specs(model, batch, dtype):
         contract = {"cond": f"[{batch}, {n_mels}, f] mel frames",
                     "z": f"[{batch}, {hop}*f]",
                     "audio": f"[{batch}, {hop}*f]"}
+    if frames is not None:
+        contract["f"] = int(frames)  # fixed-shape artifact: f is concrete
     return z, h, contract
 
 
 def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
-                   bf16=False, with_analysis=True):
+                   bf16=False, with_analysis=True, frames=None):
     """Export a trained checkpoint as a serving artifact directory.
 
     ``ckpt`` is any training or lean-export checkpoint directory (config
     embedded).  Weight norm is fused; with ``bf16`` the baked-in weights and
     the flow math are bfloat16 (MXU path) while quantized conds stay fp32.
+
+    ``frames``: bake a FIXED frame count instead of the symbolic time axis.
+    For WaveFlow this is what embeds the fused Pallas AR kernel in a
+    single-platform TPU export (``platforms=("tpu",)``): the kernel needs
+    static shapes, and on multi-platform exports the lowered module keeps
+    every platform branch so the kernel-free scan path is forced (Pallas has
+    no non-TPU lowering).  Fixed-shape artifacts serve any length through
+    the chunker (:func:`.streaming.synthesize_streaming_serving` pads the
+    final chunk).  Kernel presence is recorded as ``meta["fused_ar_kernel"]``.
     """
     from jax import export
 
@@ -98,7 +120,7 @@ def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
             if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, params)
 
     model = exp.model
-    z_spec, h_spec, contract = _specs(model, batch, dtype)
+    z_spec, h_spec, contract = _specs(model, batch, dtype, frames)
 
     def synthesis(z, h):
         x, _ = model.reverse_computation(params, z, h)
@@ -107,21 +129,35 @@ def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
     def analysis(x, h):
         return model.forward(params, x, h)
 
+    from .ops.pallas import ar_step as _ar
+
+    # multi-platform modules keep every platform branch, and Pallas has no
+    # non-TPU lowering — force the scan path there; single-platform TPU
+    # exports keep the 'auto' platform_dependent gate, which folds to the
+    # fused-kernel branch (when frames is static and the config supports it)
+    force_scan = len(tuple(platforms)) > 1
+    prev_enabled = _ar._ENABLED
+    if force_scan:
+        _ar.set_fused_ar_enabled(False)
     os.makedirs(out_dir, exist_ok=True)
     exported = {}
-    e_syn = export.export(jax.jit(synthesis), platforms=tuple(platforms))(
-        z_spec, h_spec)
-    with open(os.path.join(out_dir, SYNTH_FILE), "wb") as f:
-        f.write(e_syn.serialize())
-    exported["synthesis"] = SYNTH_FILE
+    try:
+        e_syn = export.export(jax.jit(synthesis), platforms=tuple(platforms))(
+            z_spec, h_spec)
+        with open(os.path.join(out_dir, SYNTH_FILE), "wb") as f:
+            f.write(e_syn.serialize())
+        exported["synthesis"] = SYNTH_FILE
+        fused_in_artifact = "tpu_custom_call" in e_syn.mlir_module()
 
-    if with_analysis:
-        x_spec = jax.ShapeDtypeStruct(z_spec.shape, z_spec.dtype)
-        e_ana = export.export(jax.jit(analysis), platforms=tuple(platforms))(
-            x_spec, h_spec)
-        with open(os.path.join(out_dir, ANALYSIS_FILE), "wb") as f:
-            f.write(e_ana.serialize())
-        exported["analysis"] = ANALYSIS_FILE
+        if with_analysis:
+            x_spec = jax.ShapeDtypeStruct(z_spec.shape, z_spec.dtype)
+            e_ana = export.export(jax.jit(analysis), platforms=tuple(platforms))(
+                x_spec, h_spec)
+            with open(os.path.join(out_dir, ANALYSIS_FILE), "wb") as f:
+                f.write(e_ana.serialize())
+            exported["analysis"] = ANALYSIS_FILE
+    finally:
+        _ar.set_fused_ar_enabled(prev_enabled)
 
     # halo for model-code-free chunked synthesis at load time
     # (streaming.synthesize_streaming_serving)
@@ -143,6 +179,8 @@ def export_serving(ckpt, out_dir, batch=1, platforms=("tpu", "cpu"),
         "halo_frames": halo_frames,
         "cond_unit": 8 if isinstance(model, WSRGlow) else 1,
         "frame_samples": model._hop_length,
+        "frames": None if frames is None else int(frames),
+        "fused_ar_kernel": fused_in_artifact,
     }
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(meta, f, indent=1)

@@ -12,9 +12,22 @@ the true edge and the convs' zero padding matches the full pass exactly.
 Supported: WaveGlow, WSRGlow, MelGlow, and MRWaveGlow (the serving-relevant
 families; their time-domain receptive field is a closed form below —
 MRWaveGlow's band recursion splits *channels*, so its time axis stays at
-T'-rate and the halo is the WaveGlow form over all level + prior flows).
-WaveFlow raises — its halo is impractically large (sum(dilations)=255 per
-layer stack at T'-rate, ~6 s/side at n_group 64).
+T'-rate and the halo is the WaveGlow form over all level + prior flows),
+plus WaveFlow with an *approximate* halo (below).
+
+WaveFlow's inverse is autoregressive over height rows: row g depends on row
+g-1 within one stack reach (sum(time dilations) = 255 squeezed steps each
+side), row g-1 on g-2 within another reach, and so on — the EXACT reverse
+receptive field compounds to (n_group-1) * 255 per flow, which makes exact
+overlap-discard impractical (hours of halo).  But each compounding hop is
+attenuated by the coupling Jacobian (|d x_g / d x_{g-1}| ~ the coupling
+strength), so the influence beyond k stack-reaches falls off geometrically;
+``WAVEFLOW_AR_ROUNDS`` stack-reaches per flow bounds the error to
+(coupling strength)^ROUNDS of the halo-edge error.  The default (2) gives
+< 1e-5 max deviation for trained-scale couplings (measured:
+``tests/test_streaming.py::test_waveflow_streaming_error_decays``); raise it
+(or pass ``halo_frames``) for unusually hot couplings.  Reference anchor:
+the arbitrary-length synthesis claim, ``inference.py:50-57``.
 """
 
 from __future__ import annotations
@@ -23,6 +36,11 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+# stack-reaches of halo per WaveFlow flow (see module docstring): 1 covers
+# the first-order (single-pass) receptive field; each extra round suppresses
+# the AR-compounded influence by another factor of the coupling strength
+WAVEFLOW_AR_ROUNDS = 2
 
 
 def reverse_halo_frames(model) -> int:
@@ -38,9 +56,19 @@ def reverse_halo_frames(model) -> int:
     """
     from .models.melglow import MelGlow
     from .models.mr_waveglow import MRWaveGlow
+    from .models.waveflow import WaveFlow
     from .models.waveglow import WaveGlow
 
     n_flows = model.flows
+    if isinstance(model, WaveFlow):
+        # APPROXIMATE halo (module docstring): first-order reach is
+        # sum(time dilations) squeezed steps per side per flow; the extra
+        # (WAVEFLOW_AR_ROUNDS - 1) reaches bound the AR-compounded tail
+        wn = model.WNs[0]
+        half = sum(wn.dilations)  # 3-tap time kernels: d per side per layer
+        halo_samples = (model.flows * WAVEFLOW_AR_ROUNDS * half
+                        * model.n_group)
+        return math.ceil(halo_samples / model._hop_length) + 2
     if isinstance(model, WaveGlow):  # WSRGlow subclasses WaveGlow
         wn = model.WNs[0].F  # AffineCouplingBlock wraps the WN
     elif isinstance(model, MelGlow):
@@ -60,8 +88,8 @@ def reverse_halo_frames(model) -> int:
     else:
         raise NotImplementedError(
             f"streaming synthesis supports WaveGlow/WSRGlow/MelGlow/"
-            f"MRWaveGlow; {type(model).__name__}'s reverse halo is "
-            f"impractically large or not closed-form here")
+            f"MRWaveGlow/WaveFlow; {type(model).__name__}'s reverse halo "
+            f"is not closed-form here")
     half = sum(wn.dilations) * (wn.radix - 1) // 2
     halo_samples = n_flows * half * model.n_group
     return math.ceil(halo_samples / model._hop_length) + 2
@@ -110,12 +138,31 @@ def synthesize_streaming(model, params, h, key=None, z=None, sigma=1.0, *,
 
 
 def _chunk_loop(reverse_call, z, h, frames, f_unit, hop, chunk_frames,
-                halo_frames):
+                halo_frames, fixed_frames=None):
+    """``fixed_frames``: every window is exactly this many frames (required
+    by fixed-shape serving artifacts) — boundary windows are SHIFTED into
+    the utterance instead of clamped, so no padding is ever synthesized and
+    the result still equals the one-pass (extra halo on one side is
+    harmless).  Requires ``frames >= fixed_frames``."""
+    if fixed_frames is not None:
+        if frames < fixed_frames:
+            raise ValueError(
+                f"utterance ({frames} frames) shorter than the artifact's "
+                f"fixed window ({fixed_frames}); synthesize it one-pass or "
+                f"export a smaller window")
+        if chunk_frames + 2 * halo_frames > fixed_frames:
+            raise ValueError(
+                f"chunk_frames ({chunk_frames}) + 2*halo ({halo_frames}) "
+                f"exceeds the fixed window ({fixed_frames})")
     outs = []
     for start in range(0, frames, chunk_frames):
         end = min(start + chunk_frames, frames)
-        lo = max(0, start - halo_frames)
-        hi = min(frames, end + halo_frames)
+        if fixed_frames is None:
+            lo = max(0, start - halo_frames)
+            hi = min(frames, end + halo_frames)
+        else:
+            lo = max(0, min(start - halo_frames, frames - fixed_frames))
+            hi = lo + fixed_frames
         zc = z[:, lo * hop : hi * hop]
         hc = h[..., lo * f_unit : hi * f_unit]
         xc = reverse_call(zc, hc)
@@ -124,7 +171,7 @@ def _chunk_loop(reverse_call, z, h, frames, f_unit, hop, chunk_frames,
 
 
 def synthesize_streaming_serving(served, h, key=None, z=None, sigma=1.0, *,
-                                 chunk_frames, halo_frames=None):
+                                 chunk_frames=None, halo_frames=None):
     """Constant-memory synthesis through a :class:`~.serving.ServingModel`.
 
     The deployment composition from docs/design.md §8: the serving artifact
@@ -135,6 +182,12 @@ def synthesize_streaming_serving(served, h, key=None, z=None, sigma=1.0, *,
     chunk/halo sizes must respect the artifact's minimum symbolic length
     (``f >= 4`` mel frames / ``f >= 2`` WSRGlow frames — any practical halo
     already does).
+
+    Fixed-shape artifacts (exported with ``frames=N``, e.g. WaveFlow with
+    the fused AR kernel baked in) are served with fixed windows: boundary
+    windows are shifted into the utterance, never padded, so equality with
+    the one-pass still holds; ``chunk_frames`` defaults to the largest core
+    the window allows (``N - 2*halo``).
     """
     meta = served.meta
     if halo_frames is None:
@@ -161,5 +214,11 @@ def synthesize_streaming_serving(served, h, key=None, z=None, sigma=1.0, *,
         z = sigma * jax.random.normal(
             key, (h.shape[0], frames * hop), jnp.dtype(meta["dtype"]))
 
+    fixed = meta.get("frames")
+    if fixed is not None and chunk_frames is None:
+        chunk_frames = fixed - 2 * halo_frames  # largest valid core
+    if chunk_frames is None or chunk_frames < 1:
+        raise ValueError("pass chunk_frames= (symbolic-axis artifact), or "
+                         "export a window larger than 2*halo")
     return _chunk_loop(served.synthesize, z, h, frames, f_unit, hop,
-                       chunk_frames, halo_frames)
+                       chunk_frames, halo_frames, fixed_frames=fixed)

@@ -16,7 +16,7 @@ import optax
 
 from ..models import build_model
 from ..ops.stft import MelSpec
-from ..ops.lowpass import LowPass, STFTDecimate
+from ..ops.lowpass import LowPass, SincDecimate, STFTDecimate
 from ..utils.config import Registry, get_instance
 from .loss import LOSS_REGISTRY
 from .optim import build_lr_schedule, build_optimizer
@@ -24,6 +24,7 @@ from .optim import build_lr_schedule, build_optimizer
 CONDITIONER_REGISTRY = Registry("conditioner")
 CONDITIONER_REGISTRY.register("MelSpec")(MelSpec)
 CONDITIONER_REGISTRY.register("STFTDecimate")(STFTDecimate)
+CONDITIONER_REGISTRY.register("SincDecimate")(SincDecimate)
 CONDITIONER_REGISTRY.register("LowPass")(LowPass)
 
 
@@ -130,6 +131,8 @@ class Experiment:
         if isinstance(compute_dtype, str):
             compute_dtype = jnp.dtype(compute_dtype)
 
+        from ..ops.convs import conv1x1_impl
+
         def loss_fn(params, model_state, batch):
             cond = conditioner(batch)
             if compute_dtype is not None:
@@ -162,9 +165,17 @@ class Experiment:
         optimizer = self.optimizer
 
         def step(state, batch):
-            (loss, (aux, new_model_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state["params"], state["model_state"], batch)
+            # training traces use the K=1-conv lowering of pointwise convs
+            # (layouts agree with the dilated convs; proper dW transpose) —
+            # the grad-free synthesis path keeps the faster dot form
+            # (ops/convs.py conv1x1 rationale).  The context must span the
+            # whole value_and_grad call: the constant-memory custom_vjp
+            # backward rules trace during the transpose, after loss_fn's
+            # body has returned.
+            with conv1x1_impl("conv"):
+                (loss, (aux, new_model_state)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state["params"], state["model_state"], batch)
             updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
             new_state = {

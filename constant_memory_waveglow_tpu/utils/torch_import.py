@@ -8,10 +8,10 @@ weight-compatible by design (same shapes/layouts, weight-norm kept as
 ``{v, g}`` pairs), so a reference-trained model can be converted and served
 by this framework directly.
 
-Covers WaveGlow, WSRGlow (extra embeddings), WaveFlow, and MRWaveGlow.
-MelGlow's LVC predictor (BatchNorm running stats live in a separate state
-tree here) is intentionally not auto-imported — construct it via the
-in-process mapping in ``tests/test_reference_parity.py`` if needed.
+Covers all five reference families: WaveGlow, WSRGlow (extra embeddings),
+WaveFlow, MRWaveGlow, and MelGlow — whose LVC-predictor BatchNorm splits
+into affine params and a running-stats model_state tree here
+(:func:`torch_state_dict_to_variables` returns both).
 """
 
 from __future__ import annotations
@@ -78,9 +78,67 @@ def _wn(node):
     return out
 
 
+def _bn(node):
+    """torch BatchNorm entry -> (affine params, running-stats state)."""
+    return ({"scale": node["weight"], "bias": node["bias"]},
+            {"mean": node["running_mean"], "var": node["running_var"]})
+
+
+def _predictor(node):
+    """Reference MelGlow LVC ``Predictor`` (``model/melglow.py:13-49``):
+    Sequential(conv, BN, tanh) start, res_blocks of
+    Sequential(conv, BN, tanh, conv, BN, tanh), plain end conv."""
+    sp, ss = _bn(node["start"][1])
+    params = {"start": _conv(node["start"][0]), "start_bn": sp,
+              "blocks": [], "end": _conv(node["end"])}
+    state = {"start_bn": ss, "blocks": []}
+    for blk in node["res_blocks"]:
+        b1p, b1s = _bn(blk[1])
+        b2p, b2s = _bn(blk[4])
+        params["blocks"].append({"conv1": _conv(blk[0]), "bn1": b1p,
+                                 "conv2": _conv(blk[3]), "bn2": b2p})
+        state["blocks"].append({"bn1": b1s, "bn2": b2s})
+    return params, state
+
+
 def torch_state_dict_to_params(state_dict, arch_type, prefix="model."):
-    """Map a reference checkpoint ``state_dict`` to our parameter pytree."""
+    """Map a reference checkpoint ``state_dict`` to our parameter pytree.
+
+    For stateless families only; MelGlow carries BatchNorm running stats,
+    use :func:`torch_state_dict_to_variables` to get (params, model_state).
+    """
+    params, _ = torch_state_dict_to_variables(state_dict, arch_type, prefix)
+    return params
+
+
+def torch_state_dict_to_variables(state_dict, arch_type, prefix="model."):
+    """Map a reference checkpoint to ``(params, model_state)``.
+
+    ``model_state`` is ``{}`` for every family except MelGlow, whose LVC
+    predictors' BatchNorm running stats live in the functional state tree
+    (updated outside autodiff during training, frozen at inference).
+    """
     tree = _listify(_nest(state_dict, prefix))
+
+    if arch_type == "MelGlow":
+        params = {"invconv1x1": [{"W": c["weight"][..., 0]}
+                                 for c in tree["invconv1x1"]],
+                  "WNs": []}
+        state = {"WNs": []}
+        for b in tree["WNs"]:
+            wn = b["F"]
+            wp = {
+                "start": _conv(wn["start"]),
+                "layers": [{"W_o": _conv(l["W_o"])} for l in wn["layers"]],
+                "end": {"w": wn["end"]["weight"]},
+            }
+            if "bias" in wn["end"]:
+                wp["end"]["b"] = wn["end"]["bias"]
+            pp, ps = _predictor(wn["pred"])
+            wp["pred"] = pp
+            params["WNs"].append(wp)
+            state["WNs"].append(ps)
+        return params, state
 
     if arch_type in ("WaveGlow", "WSRGlow"):
         params = {
@@ -92,7 +150,7 @@ def torch_state_dict_to_params(state_dict, arch_type, prefix="model."):
         if arch_type == "WSRGlow":
             params["mu_embed"] = tree["mu_enc"][1]["weight"]
             params["angle_embed"] = tree["angle_embed"]["embed"]["weight"]
-        return params
+        return params, {}
 
     if arch_type == "WaveFlow":
         params = {
@@ -103,7 +161,7 @@ def torch_state_dict_to_params(state_dict, arch_type, prefix="model."):
         if "invconv1x1" in tree:
             params["invconv1x1"] = [{"W": c["weight"][..., 0]}
                                     for c in tree["invconv1x1"]]
-        return params
+        return params, {}
 
     if arch_type == "MRWaveGlow":
         params = {"levels": [], "prior_invconv1x1": [], "prior_WNs": []}
@@ -115,17 +173,18 @@ def torch_state_dict_to_params(state_dict, arch_type, prefix="model."):
         params["prior_invconv1x1"] = [{"W": c["weight"][..., 0]}
                                       for c in tree["prior_invconv1x1"]]
         params["prior_WNs"] = [{"F": _wn(b["F"])} for b in tree["prior_WNs"]]
-        return params
+        return params, {}
 
     raise NotImplementedError(
         f"torch import not supported for arch {arch_type!r}")
 
 
 def import_lightning_checkpoint(ckpt_path):
-    """Load a reference Lightning ``.ckpt`` -> (params, config).
+    """Load a reference Lightning ``.ckpt`` -> (params, model_state, config).
 
     The embedded hyper_parameters config is normalized to our schema; pass
-    both to ``training.checkpoint.save_checkpoint`` for a servable export.
+    everything to ``training.checkpoint.save_checkpoint`` for a servable
+    export.  ``model_state`` is non-empty only for MelGlow (BN stats).
     """
     import torch
 
@@ -137,5 +196,6 @@ def import_lightning_checkpoint(ckpt_path):
     arch_type = config.get("arch", {}).get("type")
     if arch_type is None:
         raise ValueError("checkpoint has no embedded arch config; pass one")
-    params = torch_state_dict_to_params(ckpt["state_dict"], arch_type)
-    return params, normalize_config(config)
+    params, model_state = torch_state_dict_to_variables(
+        ckpt["state_dict"], arch_type)
+    return params, model_state, normalize_config(config)

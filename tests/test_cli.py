@@ -210,3 +210,14 @@ def test_wsrglow_eval_cli(workspace, tmp_path):
     assert "lsd=" in r.stdout
     mean_lsd = float(lines[-1])
     assert np.isfinite(mean_lsd) and mean_lsd > 0
+
+    # both reference downsample modes run e2e (sinc = kaiser/kazane
+    # calibration, reference vctk_wsrglow_infer.py:46-58)
+    r = run(["vctk_wsrglow_infer.py", str(wavs), "--ckpt", ckpt, "-q", "2",
+             "--downsample-type", "sinc", "--platform", "cpu"], timeout=600)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+    sinc_lsd = float([ln for ln in r.stdout.strip().splitlines() if ln][-1])
+    assert np.isfinite(sinc_lsd) and sinc_lsd > 0
+    # (with a zero-init ckpt the flows are identity and LSD is independent
+    # of the degradation; that the two modes actually produce different
+    # low-rate signals is unit-tested in test_conditioners.py)

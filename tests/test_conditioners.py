@@ -120,6 +120,39 @@ def test_stft_decimate_matches_torch():
     assert np.abs(out - ref).max() < 1e-3
 
 
+def test_sinc_decimate_matches_scipy_upfirdn():
+    """SincDecimate == scipy.signal.upfirdn with the identical kaiser-sinc
+    kernel (the kazane.Decimate calibration the reference eval CLI uses,
+    ``vctk_wsrglow_infer.py:46-52``), plus its filtering contract."""
+    from scipy.signal import upfirdn
+
+    from constant_memory_waveglow_tpu.ops import SincDecimate
+
+    rng = np.random.default_rng(5)
+    q, num_zeros = 2, 128
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    dec = SincDecimate(q, num_zeros=num_zeros)
+    out = np.asarray(dec(jnp.asarray(x)))
+    assert out.shape == (3, 2048)
+
+    ref = upfirdn(np.asarray(dec.kernel, np.float64), x.astype(np.float64),
+                  up=1, down=q, axis=-1)[:, num_zeros : num_zeros + 2048]
+    assert np.abs(out - ref).max() < 1e-5
+
+    # odd length: ceil(T/q) samples out (kazane convention)
+    assert dec(jnp.asarray(x[:, :4095])).shape == (3, 2048)
+
+    # passband tone preserved, stopband tone crushed (cutoff = 0.962*Nyq/q)
+    t = np.arange(8192)
+    lo = np.sin(2 * np.pi * 0.10 * t, dtype=np.float32)[None]
+    hi = np.sin(2 * np.pi * 0.40 * t, dtype=np.float32)[None]
+    lo_d = np.asarray(dec(jnp.asarray(lo)))[0, 512:-512]
+    hi_d = np.asarray(dec(jnp.asarray(hi)))[0, 512:-512]
+    want = np.sin(2 * np.pi * 0.10 * t[::2], dtype=np.float32)[512:-512]
+    assert np.abs(lo_d - want).max() < 1e-3   # below cutoff: unit gain
+    assert np.abs(hi_d).max() < 1e-3          # above cutoff: rejected
+
+
 def test_mu_law_matches_torch_formula():
     x = np.linspace(-1.2, 1.2, 1001).astype(np.float32)
     got = np.asarray(mu_law_encode(jnp.asarray(x), 256))

@@ -610,3 +610,48 @@ def test_torch_state_dict_import_sparse_sequential(arch):
                                            torch.from_numpy(h.copy()))
     z, _ = ours.forward_computation(params, jnp.asarray(x), jnp.asarray(h))
     assert max_err(z, z_ref) < 2e-4
+
+
+def test_torch_state_dict_import_melglow():
+    """MelGlow state_dict import: the LVC predictors' BatchNorm splits into
+    affine params + running-stats model_state (the importer covers all five
+    reference-trainable families, ``model/lightning.py:16-68``)."""
+    from model.melglow import MelGlow as Ref
+
+    from constant_memory_waveglow_tpu.models import MelGlow as Ours
+    from constant_memory_waveglow_tpu.utils.torch_import import (
+        torch_state_dict_to_variables)
+
+    kw = dict(flows=2, n_group=8, n_early_every=4, n_early_size=2,
+              hop_size=256, n_mels=20, dilation_channels=16,
+              residual_channels=16, skip_channels=16, depth=2, radix=3,
+              predict_channels=8, predict_layers=2, bias=False)
+    torch.manual_seed(44)
+    ref = Ref(memory_efficient=False, zero_init=False, **kw).eval()
+    ours = Ours(memory_efficient=False, zero_init=False, **kw)
+
+    # non-trivial running stats: a few torch training steps move them off
+    # the (0, 1) init, so the import is actually exercised
+    ref.train()
+    with torch.no_grad():
+        for i in range(3):
+            ref.forward_computation(
+                torch.randn(2, 4096) * (0.1 + 0.2 * i),
+                torch.randn(2, 20, 16))
+    ref.eval()
+
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    params, state = torch_state_dict_to_variables(sd, "MelGlow")
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "state": jax.tree_util.tree_map(jnp.asarray, state),
+    }
+
+    rng = np.random.default_rng(45)
+    x = rng.standard_normal((2, 4096)).astype(np.float32) * 0.3
+    h = rng.standard_normal((2, 20, 16)).astype(np.float32)
+    with torch.no_grad():
+        z_ref, _ = ref.forward_computation(torch.from_numpy(x),
+                                           torch.from_numpy(h.copy()))
+    z, _ = ours.forward_computation(variables, jnp.asarray(x), jnp.asarray(h))
+    assert max_err(z, z_ref) < 2e-4

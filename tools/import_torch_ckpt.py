@@ -39,15 +39,16 @@ def main():
     from constant_memory_waveglow_tpu.utils.torch_import import (
         import_lightning_checkpoint)
 
-    params, config = import_lightning_checkpoint(args.ckpt)
+    params, model_state, config = import_lightning_checkpoint(args.ckpt)
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    model_state = jax.tree_util.tree_map(jnp.asarray, model_state)
     # a fresh optimizer state makes the import a full training checkpoint:
     # train.py --ckpt-path restores into the canonical structure (params +
     # Adam moments), so omitting opt_state would fail the structural restore
     from constant_memory_waveglow_tpu.training import Experiment
 
     exp = Experiment(config)
-    state = {"params": params, "model_state": {},
+    state = {"params": params, "model_state": model_state,
              "opt_state": exp.optimizer.init(params),
              "step": jnp.asarray(args.step, jnp.int32)}
     checkpoint.save_checkpoint(args.out, args.step, jax.device_get(state), config)

@@ -2,7 +2,8 @@
 """WSRGlow super-resolution evaluation over a VCTK-style directory — parity
 with reference ``vctk_wsrglow_infer.py:30-89``.
 
-Downsamples each test wav by ``q`` (STFT decimation), super-resolves with the
+Downsamples each test wav by ``q`` (STFT decimation, or kaiser-sinc with
+``--downsample-type sinc`` — both reference modes), super-resolves with the
 model's inverse pass, and reports mean log-spectral distance (LSD, NU-Wave
 protocol: n_fft 2048, hop 512).
 
@@ -35,6 +36,13 @@ def main():
     parser.add_argument("-q", type=int, default=2)
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--sigma", type=float, default=1.0)
+    parser.add_argument("--downsample-type", type=str,
+                        choices=["sinc", "stft"], default="stft",
+                        help="degradation before super-resolving: 'stft' "
+                             "(the training degradation) or 'sinc' (kaiser-"
+                             "windowed sinc, the kazane.Decimate calibration "
+                             "most NU-Wave-protocol papers report against; "
+                             "reference vctk_wsrglow_infer.py:46-58)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
 
@@ -48,7 +56,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from constant_memory_waveglow_tpu.ops import STFTDecimate
+    from constant_memory_waveglow_tpu.ops import SincDecimate, STFTDecimate
     from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
     from constant_memory_waveglow_tpu.training import Experiment, checkpoint
     from constant_memory_waveglow_tpu.utils.audio import load_wav
@@ -62,7 +70,12 @@ def main():
     params = fuse_weight_norms(exp._infer_params(state))
     model = exp.model
 
-    downsampler = STFTDecimate(args.q)
+    if args.downsample_type == "sinc":
+        # reference calibration: roll_off 0.962, 128 zeros, kaiser beta
+        # 14.7697 (vctk_wsrglow_infer.py:46-52)
+        downsampler = SincDecimate(args.q)
+    else:
+        downsampler = STFTDecimate(args.q)
     reverse = jax.jit(lambda p, z, h: model.reverse(p, z, h))
 
     test_files = sorted(Path(args.vctk).glob("**/*.wav"))
