@@ -230,6 +230,37 @@ def test_grad_clip_bounds_update_norm():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_microbatched_step_matches_plain():
+    """Sublane-aligned gradient accumulation (Experiment.microbatch_plan):
+    a forced-chunk step must equal the full-batch step — same updated
+    params, loss, and metrics (up to float reassociation)."""
+    exp = Experiment(TINY_CONFIG)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 4096)) * 0.1
+
+    plain = exp.make_train_step(donate=False, microbatch=None)
+    micro = exp.make_train_step(donate=False, microbatch=(4, 2))
+    s1, m1 = plain(state, x)
+    s2, m2 = micro(state, x)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-4, atol=2e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s1["params"], s2["params"])
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2e-5
+
+    # the auto plan: bf16 splits 24 -> (16, 8), fp32 / stateful / small or
+    # unaligned batches stay whole
+    mp = Experiment.microbatch_plan
+    assert mp(24, jnp.bfloat16) == (16, 8)
+    assert mp(32, jnp.bfloat16) == (16, 16)
+    assert mp(16, jnp.bfloat16) is None
+    assert mp(24, None) is None
+    assert mp(24, jnp.bfloat16, has_state=True) is None
+    assert mp(20, jnp.bfloat16) is None
+
+
 def test_cosine_annealing_matches_torch_closed_form():
     """CosineAnnealingLR follows torch's closed form, including past T_max
     where the cosine is periodic and the lr rises back from eta_min."""

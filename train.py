@@ -168,7 +168,11 @@ def main():
     mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
     state = replicate(mesh, state)
     step_fn = exp.make_train_step(
-        compute_dtype="bfloat16" if amp else None)
+        compute_dtype="bfloat16" if amp else None,
+        # sublane-aligned gradient accumulation only when the whole batch
+        # lives on one device; a chunk slice would straddle data-axis
+        # shards and force resharding collectives (Experiment docstring)
+        microbatch="auto" if n_data == 1 else None)
 
     dataset = build_dataset(config["dataset"])
     # every process loads global_batch/n_proc examples; make_global_batch
