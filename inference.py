@@ -130,11 +130,18 @@ if __name__ == "__main__":
     parser.add_argument("--precision", type=str, default="default",
                         choices=["default", "high", "highest"],
                         help="matmul precision for synthesis (default: bf16 "
-                             "MXU passes, the path bench.py measures)")
+                             "MXU passes, the path bench.py measures). "
+                             "Also selects the WaveFlow AR kernel: 'default' "
+                             "runs the VMEM-resident Pallas flow inverse, "
+                             "'high'/'highest' the fp32 DMA kernel or XLA "
+                             "scan (~5-6x slower by design; see "
+                             "docs/design.md precision->kernel matrix)")
     parser.add_argument("--chunk-frames", type=int, default=0,
                         help="overlap-discard synthesis in chunks of N "
                              "conditioner frames (bounded memory for long "
-                             "files, same output; WaveGlow/WSRGlow)")
+                             "files; bit-equal for WaveGlow/WSRGlow/MelGlow/"
+                             "MRWaveGlow, <=1e-5 for WaveFlow's "
+                             "approximate AR halo)")
     args = parser.parse_args()
 
     main(args.ckpt, args.infile, args.outfile, args.sigma, args.bf16,
