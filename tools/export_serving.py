@@ -4,11 +4,20 @@ artifact (StableHLO via jax.export; weights baked in, time axis symbolic).
 
 Usage:
   python tools/export_serving.py <ckpt> <out_dir> [--batch 1] [--bf16]
-      [--platforms tpu,cpu] [--no-analysis] [--platform cpu]
+      [--platforms tpu,cpu] [--frames N] [--no-analysis] [--platform cpu]
 
 The artifact loads with ``constant_memory_waveglow_tpu.serving.ServingModel``
 (jax + numpy only — no model code) or any StableHLO runtime.  TPU artifacts
 can be produced from a CPU-only host (cross-lowering).
+
+WaveFlow + the fused Pallas AR kernel: the kernel needs static shapes and
+has no non-TPU lowering, so it is baked ONLY into single-platform
+fixed-shape exports — ``--platforms tpu --frames N``.  Such artifacts serve
+any length >= N frames through the fixed-window chunker
+(``streaming.synthesize_streaming_serving``); the default symbolic-axis /
+multi-platform export keeps the portable XLA scan path (~6x slower AR
+inverse on TPU).  The meta.json records which you got
+(``fused_ar_kernel``).
 """
 
 from __future__ import annotations
@@ -29,6 +38,10 @@ def main():
                    help="bake weights in bfloat16 and run the flows on the "
                         "bf16 MXU path (quantized conds stay fp32)")
     p.add_argument("--platforms", type=str, default="tpu,cpu")
+    p.add_argument("--frames", type=int, default=None,
+                   help="bake a FIXED frame count instead of the symbolic "
+                        "time axis (required to embed the WaveFlow Pallas "
+                        "AR kernel; see module docstring)")
     p.add_argument("--no-analysis", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform to trace on (e.g. cpu)")
@@ -44,12 +57,15 @@ def main():
     meta = export_serving(
         args.ckpt, args.out, batch=args.batch,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
-        bf16=args.bf16, with_analysis=not args.no_analysis)
+        bf16=args.bf16, with_analysis=not args.no_analysis,
+        frames=args.frames)
     total = sum(os.path.getsize(os.path.join(args.out, f))
                 for f in meta["functions"].values())
     print(f"exported {meta['family']} (step {meta['step']}) -> {args.out}: "
           f"{', '.join(meta['functions'])}; {total / 1e6:.1f} MB; "
-          f"platforms {meta['platforms']}; contract {meta['contract']}")
+          f"platforms {meta['platforms']}; "
+          f"fused_ar_kernel {meta['fused_ar_kernel']}; "
+          f"contract {meta['contract']}")
 
 
 if __name__ == "__main__":
