@@ -176,33 +176,60 @@ def conv2d(x, w, *, h_dilation=1, dilation=1, padding="valid", precision=None):
 
 
 def conv_transpose1d(x, w, *, stride, padding, groups=1, precision=None):
-    """PyTorch-semantics ConvTranspose1d via an input-dilated convolution.
+    """PyTorch-semantics ConvTranspose1d, lowered as a polyphase einsum.
 
     x: [B, Cin, T]; w: [Cin, Cout//groups, K] (the *PyTorch ConvTranspose1d*
     weight layout, so reference upsampler weights translate directly —
     ``model/waveglow.py:126-129``).  Output length = (T-1)*stride - 2*padding + K.
 
-    Implementation: insert ``stride-1`` zeros between inputs (``lhs_dilation``),
-    pad ``K-1-padding`` on both sides, and correlate with the kernel flipped in
-    time and transposed to [Cout, Cin//groups, K].
+    Lowering: the textbook form — insert ``stride-1`` zeros between inputs
+    (``lhs_dilation``) and correlate with the flipped kernel — degrades
+    badly in XLA:TPU at large stride: the hop-512 MusicNet upsampler
+    (stride 64, K=129) measured ~0.3 s standalone and poisoned every flow
+    group compiled with it in one graph (~15x: 3.4 s vs 0.55 s summed
+    parts on a 9.7 s utterance).  Instead, split the kernel into
+    ``stride`` phases of D = ceil(K/stride) taps: output sample
+    ``j = q*stride + r - padding`` only sees input frames ``q-d``
+    (d < D), so the whole op is one dense contraction over (in-channel,
+    tap) per phase — no input dilation anywhere.  The phase weights
+    W[g,i,o,d,r] = w[g,i,o,d*stride+r] (zero-padded past K) give
+    ``out[b,g,o,q,r] = sum_{i,d} x[b,g,i,q-d] * W[g,i,o,d,r]``, and the
+    [q, r] axes flatten into the time axis.  Equivalence with torch is
+    covered by the model-level parity suite (test_reference_parity.py).
     """
     k = w.shape[-1]
-    # [Cin, Cout//groups, K] -> [Cout, Cin//groups, K]
-    if groups == 1:
-        w_flip = jnp.flip(w, -1).transpose(1, 0, 2)
-    else:
-        cin = w.shape[0]
-        cpg = cin // groups  # in-channels per group
-        wg = jnp.flip(w, -1).reshape(groups, cpg, w.shape[1], k)
-        w_flip = wg.transpose(0, 2, 1, 3).reshape(groups * w.shape[1], cpg, k)
-    pad = k - 1 - padding
-    return lax.conv_general_dilated(
-        x,
-        w_flip,
-        window_strides=(1,),
-        padding=[(pad, pad)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=groups,
-        precision=_prec(precision),
-    )
+    if stride == 1:
+        # degenerate case: plain correlation with the flipped kernel
+        if groups == 1:
+            w_flip = jnp.flip(w, -1).transpose(1, 0, 2)
+        else:
+            cin = w.shape[0]
+            cpg = cin // groups
+            wg = jnp.flip(w, -1).reshape(groups, cpg, w.shape[1], k)
+            w_flip = wg.transpose(0, 2, 1, 3).reshape(
+                groups * w.shape[1], cpg, k)
+        pad = k - 1 - padding
+        return lax.conv_general_dilated(
+            x, w_flip, window_strides=(1,), padding=[(pad, pad)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=groups, precision=_prec(precision))
+
+    b, cin, t = x.shape
+    cog = w.shape[1]  # Cout // groups
+    cpg = cin // groups
+    d_taps = (k - 1) // stride + 1
+    out_len = (t - 1) * stride - 2 * padding + k
+    # phase weights: [Cin, cog, D, stride] with k = d*stride + r
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, d_taps * stride - k)))
+    wp = wp.reshape(groups, cpg, cog, d_taps, stride)
+    # shifted input stack: X[..., d, q] = x[..., q - d], q in [0, T+D-1)
+    q_len = t + d_taps - 1
+    xp = jnp.pad(x, ((0, 0), (0, 0), (d_taps - 1, d_taps - 1)))
+    shifts = jnp.stack(
+        [xp[..., d_taps - 1 - d : d_taps - 1 - d + q_len]
+         for d in range(d_taps)], axis=2)  # [B, Cin, D, Q]
+    shifts = shifts.reshape(b, groups, cpg, d_taps, q_len)
+    out = jnp.einsum("bgidq,giodr->bgoqr", shifts, wp,
+                     precision=_prec(precision))
+    out = out.reshape(b, groups * cog, q_len * stride)
+    return out[..., padding : padding + out_len]

@@ -161,3 +161,38 @@ def test_mu_law_matches_torch_formula():
     y = torch.sign(xt) * torch.log1p(mu * torch.abs(xt)) / np.log1p(mu)
     ref = ((y + 1) / 2 * mu + 0.5).to(torch.int64).numpy()
     assert (got == ref).all()
+
+
+@pytest.mark.parametrize(
+    "cin,cog,groups,kernel,stride,pad,t",
+    [
+        (80, 1, 80, 129, 64, 33, 17),   # MusicNet upsampler (hop 512)
+        (80, 1, 80, 65, 32, 17, 23),    # flagship upsampler (hop 256)
+        (6, 4, 2, 7, 3, 2, 11),         # grouped, kernel not a stride multiple
+        (5, 3, 1, 9, 4, 0, 8),          # dense, no padding
+        (4, 2, 1, 5, 1, 2, 13),         # stride-1 degenerate path
+        (3, 2, 1, 4, 5, 1, 6),          # kernel < stride (gappy output)
+    ],
+)
+def test_conv_transpose1d_matches_torch(cin, cog, groups, kernel, stride,
+                                        pad, t):
+    """Polyphase ConvTranspose1d lowering (ops/convs.py) vs torch.
+
+    The textbook lhs_dilation lowering degrades badly in XLA:TPU at large
+    stride (measured on the hop-512 MusicNet upsampler); the polyphase
+    einsum must stay bit-compatible with torch.nn.functional
+    .conv_transpose1d across strides, groups, and paddings.
+    """
+    from constant_memory_waveglow_tpu.ops.convs import conv_transpose1d
+
+    rng = np.random.default_rng(kernel * 7 + stride)
+    x = rng.standard_normal((2, cin, t)).astype(np.float32)
+    w = rng.standard_normal((cin, cog, kernel)).astype(np.float32)
+    ref = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=stride,
+        padding=pad, groups=groups).numpy()
+    got = np.asarray(conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                      stride=stride, padding=pad,
+                                      groups=groups, precision="highest"))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12) < 1e-5

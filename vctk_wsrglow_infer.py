@@ -68,6 +68,10 @@ def main():
     # call (one per unique file length) restacks the params on device
     state = exp.native_state(checkpoint.restore_raw(args.ckpt))
     params = fuse_weight_norms(exp._infer_params(state))
+    # commit to the device ONCE — lean exports restore as host numpy, and a
+    # numpy arg tree is re-uploaded through the PJRT tunnel on EVERY jitted
+    # call (minutes per file at WSRGlow size; see inference.py)
+    params = jax.device_put(params)
     model = exp.model
 
     if args.downsample_type == "sinc":
