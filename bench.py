@@ -262,6 +262,16 @@ def main():
                              compute_dtype="bfloat16", n=6)[0], 2)
         details["train_audio_s_per_s_b24_fp32"] = round(
             bench_train_step(batch=24, precision="high", n=6)[0], 2)
+        # the throughput-over-memory opt-in (train.py --scan-unroll 4):
+        # whole-group unroll, +~1.5 GB peak temp (flows/scan_group.py)
+        from constant_memory_waveglow_tpu.flows import scan_group
+        scan_group.set_scan_unroll(4)
+        try:
+            details["train_audio_s_per_s_b8_unroll4"] = round(
+                bench_train_step(precision="default",
+                                 compute_dtype="bfloat16")[0], 2)
+        finally:
+            scan_group.set_scan_unroll(1)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
     try:

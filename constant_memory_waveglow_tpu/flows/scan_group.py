@@ -41,6 +41,23 @@ from ..ops.convs import get_default_precision
 from .coupling import _split2
 from .invconv import _inv, _logabsdet, _mix
 
+# lax.scan unroll factor for the group scans.  1 = strictly one flow's
+# internals live at a time (the constant-memory contract).  >1 trades peak
+# temp memory for scheduler overlap across flows.  Measured on v5e
+# (flagship AMP step, b8): unroll 1 = 95.0 audio-s/s, 2 = 94.2 (no win),
+# 4 (a whole flagship group, i.e. the while-loop disappears) = 102.8
+# (+8%) at +1.5 GB peak temp (compiled total 5272 MB at ch256/bs24/12
+# flows vs 3797 at unroll 1 — the reference reports 4951).  The default
+# stays 1 to keep the memory headline; ``train.py --scan-unroll 4`` buys
+# the throughput when memory allows.
+_SCAN_UNROLL = 1
+
+
+def set_scan_unroll(n: int):
+    """Set the flow-group scan unroll factor (takes effect at next trace)."""
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = int(n)
+
 
 def _dot(a, b, dims):
     return lax.dot_general(a, b, (dims, ((), ())),
@@ -94,7 +111,7 @@ def make_flow_group(f_apply):
             return (z, ld + d), None
 
         init = (x, jnp.zeros((x.shape[0],), x.dtype))
-        (z, ld), _ = lax.scan(body, init, params)
+        (z, ld), _ = lax.scan(body, init, params, unroll=_SCAN_UNROLL)
         return z, ld
 
     def reverse(params, z, y):
@@ -104,7 +121,8 @@ def make_flow_group(f_apply):
             return (x, ld + d), None
 
         init = (z, jnp.zeros((z.shape[0],), z.dtype))
-        (x, ld), _ = lax.scan(body, init, params, reverse=True)
+        (x, ld), _ = lax.scan(body, init, params, reverse=True,
+                               unroll=_SCAN_UNROLL)
         return x, ld
 
     # -------------------------------------------------- efficient: x -> z dir
@@ -146,7 +164,8 @@ def make_flow_group(f_apply):
             return (x, dx, dy + dy_k), {"invconv": {"W": dw}, "WN": dwn}
 
         init = (z, dz, jnp.zeros_like(y))
-        (_, dx, dy), dparams = lax.scan(body, init, params, reverse=True)
+        (_, dx, dy), dparams = lax.scan(body, init, params, reverse=True,
+                                        unroll=_SCAN_UNROLL)
         return dparams, dx, dy
 
     forward_eff.defvjp(_f_fwd, _f_bwd)
@@ -192,7 +211,8 @@ def make_flow_group(f_apply):
             return (z, dz, dy + dy_k), {"invconv": {"W": dw}, "WN": dwn}
 
         init = (x, dx, jnp.zeros_like(y))
-        (_, dz, dy), dparams = lax.scan(body, init, params)
+        (_, dz, dy), dparams = lax.scan(body, init, params,
+                                        unroll=_SCAN_UNROLL)
         return dparams, dz, dy
 
     reverse_eff.defvjp(_r_fwd, _r_bwd)

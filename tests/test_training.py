@@ -369,3 +369,33 @@ def test_loader_surfaces_worker_exceptions(wav_dir, tmp_path):
     with pytest.raises(RuntimeError, match="data worker failed"):
         for _ in loader.epoch(0):
             pass
+
+
+def test_scan_unroll_step_matches_unroll1():
+    """--scan-unroll trades memory for scheduler overlap; it must be a pure
+    scheduling knob — same loss, metrics, and updated params as unroll 1
+    (lax.scan unroll is semantics-preserving, this guards our plumbing)."""
+    from constant_memory_waveglow_tpu.flows import scan_group
+
+    exp = Experiment(TINY_CONFIG)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4096)) * 0.1
+
+    step = exp.make_train_step(donate=False, microbatch=None)
+    s1, m1 = step(state, x)
+    try:
+        scan_group.set_scan_unroll(4)
+        # new Experiment so the group fns re-trace with the new unroll
+        exp4 = Experiment(TINY_CONFIG)
+        state4 = exp4.init_state(jax.random.PRNGKey(0))
+        step4 = exp4.make_train_step(donate=False, microbatch=None)
+        s2, m2 = step4(state4, x)
+    finally:
+        scan_group.set_scan_unroll(1)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-4, atol=2e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s1["params"], s2["params"])
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2e-5
