@@ -61,11 +61,15 @@ def fused_ar_mode() -> str:
     backend of the exporting host says nothing about where the lowered
     module will run (VERDICT r2 weak #3).
     """
+    # an explicit enable/disable wins over interpret mode: export paths
+    # force the scan branch with set_fused_ar_enabled(False), and a leaked
+    # test-global _INTERPRET must not trace Pallas calls into portable
+    # (multi-platform) artifacts
+    if _ENABLED is not None:
+        return "on" if _ENABLED else "off"
     if _INTERPRET:
         return "on"
-    if _ENABLED is None:
-        return "auto"
-    return "on" if _ENABLED else "off"
+    return "auto"
 
 
 def fused_ar_enabled() -> bool:

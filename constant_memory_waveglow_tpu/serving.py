@@ -57,7 +57,10 @@ def _specs(model, batch, dtype, frames=None):
             (f,) = export.symbolic_shape("f", constraints=["f >= 2"])
         else:
             f = int(frames)
-            assert f >= 2
+            if f < 2:
+                raise ValueError(f"frames={f}: WSRGlow artifacts need >= 2 "
+                                 "low-rate frames (the STFT conditioner's "
+                                 "minimum window)")
         r = model.upsample_rate
         z = jax.ShapeDtypeStruct((batch, 8 * r * f), dtype)
         h = jax.ShapeDtypeStruct((batch, 8 * f), jnp.float32)
@@ -69,7 +72,10 @@ def _specs(model, batch, dtype, frames=None):
             (f,) = export.symbolic_shape("f", constraints=["f >= 4"])
         else:
             f = int(frames)
-            assert f >= 4
+            if f < 4:
+                raise ValueError(f"frames={f}: mel-conditioned artifacts "
+                                 "need >= 4 conditioner frames (the "
+                                 "upsampler's minimum support)")
         hop = model._hop_length
         n_mels = model.n_mels
         z = jax.ShapeDtypeStruct((batch, hop * f), dtype)

@@ -148,8 +148,9 @@ def _chunk_loop(reverse_call, z, h, frames, f_unit, hop, chunk_frames,
         if frames < fixed_frames:
             raise ValueError(
                 f"utterance ({frames} frames) shorter than the artifact's "
-                f"fixed window ({fixed_frames}); synthesize it one-pass or "
-                f"export a smaller window")
+                f"fixed window ({fixed_frames}); pad the conditioner (and "
+                f"z) up to the window and trim the output, or re-export "
+                f"with a smaller --frames")
         if chunk_frames + 2 * halo_frames > fixed_frames:
             raise ValueError(
                 f"chunk_frames ({chunk_frames}) + 2*halo ({halo_frames}) "

@@ -216,9 +216,20 @@ class Experiment:
             if plan == "auto":
                 plan = self.microbatch_plan(batch.shape[0], compute_dtype,
                                             has_state)
-            if plan is not None and (len(plan) < 2
-                                     or sum(plan) != batch.shape[0]):
-                plan = None
+            elif plan is not None:
+                # a FORCED plan must be valid — silently falling back would
+                # make the caller believe they measured the chunked step
+                if len(plan) < 2 or sum(plan) != batch.shape[0]:
+                    raise ValueError(
+                        f"microbatch plan {tuple(plan)} does not cover the "
+                        f"batch (size {batch.shape[0]}); need >=2 chunks "
+                        f"summing to it")
+                if has_state:
+                    raise ValueError(
+                        "microbatch chunking is unsupported for stateful "
+                        "models: each chunk would see the step-initial "
+                        "model_state and only the last chunk's BN running "
+                        "stats would be kept")
             # training traces use the K=1-conv lowering of pointwise convs
             # (layouts agree with the dilated convs; proper dW transpose) —
             # the grad-free synthesis path keeps the faster dot form

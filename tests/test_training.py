@@ -399,3 +399,18 @@ def test_scan_unroll_step_matches_unroll1():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         s1["params"], s2["params"])
     assert max(jax.tree_util.tree_leaves(diffs)) < 2e-5
+
+
+def test_forced_microbatch_plan_validation():
+    """A forced (non-auto) microbatch plan must be valid or raise — silent
+    fallback would fake the chunked-step measurement (review finding)."""
+    exp = Experiment(TINY_CONFIG)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 4096)) * 0.1
+
+    bad = exp.make_train_step(donate=False, microbatch=(4, 4))  # sum != 6
+    with pytest.raises(ValueError, match="does not cover"):
+        bad(state, x)
+    single = exp.make_train_step(donate=False, microbatch=(6,))
+    with pytest.raises(ValueError, match="does not cover"):
+        single(state, x)

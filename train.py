@@ -107,7 +107,11 @@ def main():
     # fp32 master params) at 'default' matmul precision — 13k-step flagship
     # run matched fp32's loss to 0.12 with LSD 1.08 (samples/ index).
     # --fp32 restores the conservative path (fp32 compute, 'high').
-    amp = not args.fp32 or args.bf16_compute
+    if args.fp32 and args.bf16_compute:
+        parser.error("--fp32 and --bf16-compute are contradictory: the "
+                     "first opts out of AMP, the second (legacy alias, AMP "
+                     "is the default now) opts in")
+    amp = not args.fp32
     if args.precision is None:
         args.precision = "default" if amp else "high"
     set_default_precision(args.precision)
