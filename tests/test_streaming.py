@@ -119,8 +119,11 @@ def test_waveflow_streaming_error_decays():
         c = synthesize_streaming(m, params, h, z=z, chunk_frames=30,
                                  halo_frames=halo)
         errs.append(float(jnp.abs(c - full).max()))
-    assert errs[0] > errs[1] > errs[2], errs
+    # decay must be monotone, but once the error reaches the fp32 noise
+    # floor (~2e-7) a larger halo can only tie it — non-strict on the tail
+    assert errs[0] > errs[1] >= errs[2], errs
     assert errs[0] > 1e-4  # sensitivity: tiny halos visibly break equality
+    assert errs[1] < errs[0] / 10  # the decay itself is substantial
     assert errs[2] <= 1e-5
 
 
