@@ -80,13 +80,17 @@ def _time_chained_steps(step, state, batch, n=10, warmup=2):
     return (time.perf_counter() - t0) / n
 
 
-def _time_chained_calls(f, x, n=5, warmup=1):
+def _time_chained_calls(f, x, n=5, warmup=2):
     """Per-call wall time of ``y = f(x_i)`` where each call's input is
-    perturbed by the previous output's first element (forces sequencing)."""
+    perturbed by the previous output's first element (forces sequencing).
+    warmup=2: the FIRST post-compile execution in a process pays a
+    one-time runtime penalty on this tunneled PJRT backend (measured ~15%
+    on the synthesis bench); each warmup call is individually forced so
+    the pipeline is truly warm before timing starts."""
     out = None
     for _ in range(warmup):
         out = f(x)
-    float(np.asarray(out.ravel()[0]))
+        float(np.asarray(out.ravel()[0]))
     t0 = time.perf_counter()
     for _ in range(n):
         x = x + out.ravel()[0] * 1e-12  # data dependency chains the calls
@@ -236,6 +240,12 @@ def main():
                                    "single-utterance figure"}
     khz = bench_synthesis()
     details["synthesis_khz_b16_fp32"] = round(khz, 1)
+    try:
+        # the --bf16 inference path (params + activations bf16)
+        details["synthesis_khz_b16_bf16"] = round(
+            bench_synthesis(dtype=jnp.bfloat16), 1)
+    except Exception as e:
+        details["synthesis_khz_b16_bf16"] = f"failed: {e}"
     try:
         details["synthesis_khz_b1"] = round(bench_synthesis(batch=1), 1)
     except Exception as e:  # pragma: no cover - diagnostic only
