@@ -224,6 +224,31 @@ def main():
     if args.hang_timeout:
         from constant_memory_waveglow_tpu.utils.watchdog import HangWatchdog
         watchdog = HangWatchdog(args.hang_timeout).start()
+    # metrics are flushed ONE STEP BEHIND: float(metrics) is a blocking
+    # device->host fetch, and doing it before dispatching the next step
+    # serializes the pipeline (measured 313 ms/step wall against a 180 ms
+    # device step on the tunneled runtime).  Dispatch step N+1 first, then
+    # fetch step N's metrics — they are already materialized by then, so
+    # the fetch costs only the transfer.  The watchdog beat after a flush
+    # still proves the device finished a step (one behind).
+    pending = None  # (epoch, step, device metrics) awaiting flush
+
+    def flush(p):
+        ep, st, m = p
+        m = {k: float(v) for k, v in m.items()}
+        if watchdog is not None:
+            watchdog.beat()
+        # lr actually applied at that step (schedule evaluated at the optax
+        # update count, which was st-1 before the increment)
+        m["lr"] = float(exp.lr_schedule(st - 1))
+        if is_main:
+            logger.log_scalars(st, m)
+        if is_main and (st % 50 == 0 or st == 1):
+            dt = time.time() - t0
+            print(f"epoch {ep} step {st} loss {m['loss']:.4f} "
+                  f"logdet {m['logdet']:.4f} z_std {m['z_std']:.4f} "
+                  f"({dt:.1f}s)", flush=True)
+
     for epoch in range(start_epoch, args.max_epochs):
         for batch in loader.epoch(epoch):
             if args.profile_steps and step == 2 and not profiling:
@@ -237,21 +262,14 @@ def main():
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profile trace written to {logdir}/profile")
-            metrics = {k: float(v) for k, v in metrics.items()}
-            if watchdog is not None:  # the float() fetches above prove the
-                watchdog.beat()       # device actually finished this step
-            # lr actually applied this step (schedule evaluated at the optax
-            # update count, which was step-1 before the increment)
-            metrics["lr"] = float(exp.lr_schedule(step - 1))
-            if is_main:
-                logger.log_scalars(step, metrics)
-            if is_main and (step % 50 == 0 or step == 1):
-                dt = time.time() - t0
-                print(f"epoch {epoch} step {step} loss {metrics['loss']:.4f} "
-                      f"logdet {metrics['logdet']:.4f} z_std {metrics['z_std']:.4f} "
-                      f"({dt:.1f}s)", flush=True)
+            if pending is not None:
+                flush(pending)
+            pending = (epoch, step, metrics)
             if args.max_steps and step >= args.max_steps:
                 break
+        if pending is not None:  # drain before epoch-boundary work so the
+            flush(pending)       # JSONL/TB order matches save/reconstruction
+            pending = None
 
         # every process participates in the save: orbax's save runs a global
         # barrier internally, so a rank-0-only call would deadlock multi-host
