@@ -83,12 +83,17 @@ def _time_chained_steps(step, state, batch, n=10, warmup=2):
 def _time_chained_calls(f, x, n=5, warmup=2):
     """Per-call wall time of ``y = f(x_i)`` where each call's input is
     perturbed by the previous output's first element (forces sequencing).
-    warmup=2: the FIRST post-compile execution in a process pays a
-    one-time runtime penalty on this tunneled PJRT backend (measured ~15%
-    on the synthesis bench); each warmup call is individually forced so
-    the pipeline is truly warm before timing starts."""
+
+    The warmup iterations run the SAME chain update as the timed loop:
+    the tiny ``x + out.ravel()[0]`` chaining ops are eagerly compiled on
+    first use per dtype, and on this runtime's remote-compile tunnel that
+    costs hundreds of ms — inside the timed region it read as a ~25%
+    throughput loss on the first-benched dtype (diagnosed by per-exec
+    timing: every individual execution was already at steady state)."""
     out = None
     for _ in range(warmup):
+        if out is not None:
+            x = x + out.ravel()[0] * 1e-12
         out = f(x)
         float(np.asarray(out.ravel()[0]))
     t0 = time.perf_counter()
