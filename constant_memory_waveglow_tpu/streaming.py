@@ -97,7 +97,12 @@ def reverse_halo_frames(model) -> int:
 
 def synthesize_streaming(model, params, h, key=None, z=None, sigma=1.0, *,
                          chunk_frames, halo_frames=None):
-    """Synthesize with bounded per-chunk memory; equals the full pass.
+    """Synthesize with bounded per-chunk memory.
+
+    Bit-equal to the full pass for WaveGlow/WSRGlow/MelGlow/MRWaveGlow
+    (closed-form receptive-field halo); approximately equal for WaveFlow
+    (AR-compounded reach truncated at ``WAVEFLOW_AR_ROUNDS`` stack-reaches,
+    <= ~1e-5 max deviation for trained-scale couplings — module docstring).
 
     h: conditioner — mel [B, n_mels, F] (WaveGlow) or low-rate waveform
     [B, T_low] (WSRGlow, frame = 8 low-rate samples).  z defaults to

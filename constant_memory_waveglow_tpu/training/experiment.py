@@ -129,11 +129,15 @@ class Experiment:
         the step is numerically the full-batch step up to float
         reassociation.  Returns None (no split) when it cannot help:
         fp32 compute (8-row sublanes — 8|B already aligned), B <= 16,
-        B not a multiple of 8, or stateful models (BatchNorm batch stats
-        are per-chunk under accumulation — semantics would change).
+        B not a multiple of 8, B already a multiple of 16 (no tile rows
+        wasted — chunking would only add accumulation overhead; the
+        measured win is for B % 16 == 8, e.g. b24), or stateful models
+        (BatchNorm batch stats are per-chunk under accumulation —
+        semantics would change).
         """
         if (compute_dtype != jnp.bfloat16 or has_state
-                or batch_size <= 16 or batch_size % 8):
+                or batch_size <= 16 or batch_size % 8
+                or batch_size % 16 == 0):
             return None
         plan = (16,) * (batch_size // 16)
         if batch_size % 16:
@@ -156,11 +160,15 @@ class Experiment:
         to fp32 through the cast.
 
         ``microbatch``: 'auto' (default) applies :meth:`microbatch_plan` to
-        the traced batch size, a tuple of chunk sizes forces a plan, None
-        disables.  Auto only ever splits when the whole batch lives on one
-        device — the caller must pass ``microbatch=None`` when the batch is
-        sharded over a data axis (a chunk slice would straddle shards and
-        force resharding collectives); ``train.py`` does.
+        the batch, a tuple of chunk sizes forces a plan, None disables.
+        Auto only ever splits when the whole batch lives on one device: the
+        returned step inspects the (concrete) batch's sharding before
+        dispatch and skips chunking when the batch axis spans devices (a
+        chunk slice would straddle shards and force resharding
+        collectives).  When the step is traced inside an outer jit the
+        sharding is unknowable and auto falls back to the shape-only plan —
+        such callers (and sharded-batch callers that want to be explicit,
+        like ``train.py``) should pass ``microbatch=None``.
         """
         model, conditioner, criterion = self.model, self.conditioner, self.criterion
         has_state = model.has_state
@@ -211,25 +219,7 @@ class Experiment:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def step(state, batch):
-            plan = microbatch
-            if plan == "auto":
-                plan = self.microbatch_plan(batch.shape[0], compute_dtype,
-                                            has_state)
-            elif plan is not None:
-                # a FORCED plan must be valid — silently falling back would
-                # make the caller believe they measured the chunked step
-                if len(plan) < 2 or sum(plan) != batch.shape[0]:
-                    raise ValueError(
-                        f"microbatch plan {tuple(plan)} does not cover the "
-                        f"batch (size {batch.shape[0]}); need >=2 chunks "
-                        f"summing to it")
-                if has_state:
-                    raise ValueError(
-                        "microbatch chunking is unsupported for stateful "
-                        "models: each chunk would see the step-initial "
-                        "model_state and only the last chunk's BN running "
-                        "stats would be kept")
+        def step(state, batch, plan):
             # training traces use the K=1-conv lowering of pointwise convs
             # (layouts agree with the dilated convs; proper dW transpose) —
             # the grad-free synthesis path keeps the faster dot form
@@ -271,7 +261,53 @@ class Experiment:
             metrics = {"loss": loss, **aux}
             return new_state, metrics
 
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        jit_step = jax.jit(step, donate_argnums=(0,) if donate else (),
+                           static_argnums=(2,))
+
+        def dispatch(state, batch):
+            plan = microbatch
+            if plan == "auto":
+                if self._batch_axis_sharded(batch):
+                    plan = None  # chunk slices would straddle data shards
+                else:
+                    plan = self.microbatch_plan(batch.shape[0],
+                                                compute_dtype, has_state)
+            elif plan is not None:
+                plan = tuple(int(c) for c in plan)
+                # a FORCED plan must be valid — silently falling back would
+                # make the caller believe they measured the chunked step
+                if len(plan) < 2 or sum(plan) != batch.shape[0]:
+                    raise ValueError(
+                        f"microbatch plan {plan} does not cover the "
+                        f"batch (size {batch.shape[0]}); need >=2 chunks "
+                        f"summing to it")
+                if has_state:
+                    raise ValueError(
+                        "microbatch chunking is unsupported for stateful "
+                        "models: each chunk would see the step-initial "
+                        "model_state and only the last chunk's BN running "
+                        "stats would be kept")
+            return jit_step(state, batch, plan)
+
+        return dispatch
+
+    @staticmethod
+    def _batch_axis_sharded(batch):
+        """True when a CONCRETE batch's leading axis spans >1 device.
+
+        Tracers (the step being traced inside an outer jit) report False —
+        sharding is unknowable there and the shape-only plan applies; such
+        callers should pass ``microbatch=None`` if their batch is sharded.
+        """
+        if isinstance(batch, jax.core.Tracer):
+            return False
+        sharding = getattr(batch, "sharding", None)
+        if sharding is None:
+            return False
+        try:
+            return sharding.shard_shape(batch.shape)[0] != batch.shape[0]
+        except Exception:
+            return False
 
     # ---------------------------------------------------------------- helpers
     def infer(self, state, h, key, sigma=1.0):

@@ -250,15 +250,53 @@ def test_microbatched_step_matches_plain():
         s1["params"], s2["params"])
     assert max(jax.tree_util.tree_leaves(diffs)) < 2e-5
 
-    # the auto plan: bf16 splits 24 -> (16, 8), fp32 / stateful / small or
-    # unaligned batches stay whole
+    # the auto plan: bf16 splits 24 -> (16, 8); fp32 / stateful / small,
+    # unaligned, or already-16-aligned batches (no tile waste to recover)
+    # stay whole
     mp = Experiment.microbatch_plan
     assert mp(24, jnp.bfloat16) == (16, 8)
-    assert mp(32, jnp.bfloat16) == (16, 16)
+    assert mp(40, jnp.bfloat16) == (16, 16, 8)
+    assert mp(32, jnp.bfloat16) is None
     assert mp(16, jnp.bfloat16) is None
     assert mp(24, None) is None
     assert mp(24, jnp.bfloat16, has_state=True) is None
     assert mp(20, jnp.bfloat16) is None
+
+
+def test_auto_microbatch_skips_sharded_batches():
+    """'auto' must not chunk a data-sharded batch: a chunk slice would
+    straddle shards and force resharding collectives (ADVICE r3).  The
+    sharding probe sees through: sharded across devices -> True,
+    single-device or fully-replicated -> False, tracers -> False."""
+    from constant_memory_waveglow_tpu.parallel.mesh import make_global_batch
+
+    mesh = make_mesh(data=8)
+    x = np.random.default_rng(0).standard_normal((24, 4096)).astype(np.float32)
+    sharded = make_global_batch(mesh, x)
+    assert Experiment._batch_axis_sharded(sharded)
+    assert not Experiment._batch_axis_sharded(jnp.asarray(x))
+    assert not Experiment._batch_axis_sharded(replicate(mesh, jnp.asarray(x)))
+
+    probed = []
+    orig = Experiment.microbatch_plan
+
+    def spy(batch_size, compute_dtype, has_state=False):
+        plan = orig(batch_size, compute_dtype, has_state)
+        probed.append(plan)
+        return plan
+
+    exp = Experiment(TINY_CONFIG)
+    state = replicate(mesh, exp.init_state(jax.random.PRNGKey(0)))
+    step = exp.make_train_step(donate=False, compute_dtype="bfloat16")
+    try:
+        Experiment.microbatch_plan = staticmethod(spy)
+        _, m = step(state, sharded)  # sharded: the plan is never consulted
+        assert probed == []
+        _, m2 = step(replicate(mesh, state), jnp.asarray(x))  # replicated
+        assert probed == [(16, 8)]  # single-logical-device batch: chunked
+    finally:
+        Experiment.microbatch_plan = orig
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m2["loss"]))
 
 
 def test_cosine_annealing_matches_torch_closed_form():

@@ -63,7 +63,9 @@ def main():
                              "runtime detector; pair with auto-resume). "
                              "Must exceed the worst epoch-boundary cost "
                              "(checkpoint + first reconstruction compile). "
-                             "0 = off")
+                             "Note: the metrics flush (and so the watchdog "
+                             "beat) runs ONE STEP behind the device, so a "
+                             "hang is detected one step late. 0 = off")
     parser.add_argument("--no-auto-resume", action="store_true",
                         help="do not auto-resume from the logdir's latest ckpt")
     parser.add_argument("--scan-unroll", type=int, default=1,
@@ -249,7 +251,8 @@ def main():
                   f"logdet {m['logdet']:.4f} z_std {m['z_std']:.4f} "
                   f"({dt:.1f}s)", flush=True)
 
-    for epoch in range(start_epoch, args.max_epochs):
+    try:
+      for epoch in range(start_epoch, args.max_epochs):
         for batch in loader.epoch(epoch):
             if args.profile_steps and step == 2 and not profiling:
                 jax.profiler.start_trace(os.path.join(logdir, "profile"))
@@ -297,6 +300,17 @@ def main():
 
         if args.max_steps and step >= args.max_steps:
             break
+    finally:
+        # a crash mid-epoch must not lose the final completed step's
+        # metrics (ADVICE r3): flush the pending fetch on ANY exit path.
+        # Guarded — if the device itself is wedged the blocking fetch
+        # would otherwise mask the original exception.
+        if pending is not None:
+            try:
+                flush(pending)
+            except Exception as e:  # pragma: no cover - wedged device
+                print(f"final metrics flush failed: {e}")
+            pending = None
 
     if watchdog is not None:
         watchdog.stop()  # final save/export below may exceed the step budget
