@@ -109,6 +109,20 @@ _WAVEGLOW_ARGS = dict(
     n_mels=80, dilation_channels=256, residual_channels=256,
     skip_channels=256, depth=8, radix=3, bias=False)
 
+# shipped-config arch args for the per-family entries (configs/*_LJ_speech
+# .json / wsrglow_vctk_2x.json)
+_MELGLOW_ARGS = dict(
+    flows=12, n_group=8, n_early_every=4, n_early_size=2, hop_size=256,
+    n_mels=80, dilation_channels=48, residual_channels=48, skip_channels=48,
+    depth=7, radix=3, predict_channels=64, predict_layers=3, bias=False)
+_MRWG_ARGS = dict(
+    prior_flows=4, n_group=8, hop_size=256, n_mels=80, levels=3, flows=4,
+    dilation_channels=256, residual_channels=256, skip_channels=256, depth=8,
+    radix=3, bias=False)
+_WAVEFLOW_ARGS = dict(
+    flows=8, n_group=64, n_mels=80, use_conv1x1=False, dilation_channels=64,
+    residual_channels=64, skip_channels=64, bias=False)
+
 
 def bench_synthesis(batch=16, seconds=10.0, sr=22050, hop=256,
                     dtype=jnp.float32, precision="default"):
@@ -130,21 +144,22 @@ def bench_synthesis(batch=16, seconds=10.0, sr=22050, hop=256,
     return batch * frames * hop / dt / 1000.0  # kHz
 
 
-def _train_cfg(arch="WaveGlow", arch_args=None):
+def _train_cfg(arch="WaveGlow", arch_args=None, conditioner=None, sigma=0.7):
     return {
         "arch": {"type": arch, "args": dict(
             arch_args or dict(_WAVEGLOW_ARGS, memory_efficient=True))},
         "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
-        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 0.7,
+        "loss": {"type": "WaveGlowLoss", "args": {"sigma": sigma,
                                                   "elementwise_mean": True}},
-        "conditioner": {"type": "MelSpec", "args": {
+        "conditioner": conditioner or {"type": "MelSpec", "args": {
             "sr": 22050, "n_fft": 1024, "hop_length": 256, "f_max": 8000,
             "n_mels": 80}},
     }
 
 
 def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
-                     cfg=None, n=10, with_flops=False, compute_dtype=None):
+                     cfg=None, n=10, with_flops=False, compute_dtype=None,
+                     autotune_unroll=False):
     """audio-seconds/s/chip of the jitted train step (donated state chain).
 
     ``compute_dtype='bfloat16'`` benches the AMP path (bf16 activations,
@@ -159,6 +174,11 @@ def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
     state = exp.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment)) * 0.1
 
+    chosen_unroll = None
+    if autotune_unroll:  # the shipped train.py default (--scan-unroll auto)
+        chosen_unroll, _ = exp.autotune_scan_unroll(
+            state, (batch, segment), compute_dtype=compute_dtype,
+            donate=False)
     step = exp.make_train_step(donate=False, compute_dtype=compute_dtype)
 
     def chained(s, b):
@@ -178,8 +198,11 @@ def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
         except Exception:
             flops = None
     dt = _time_chained_steps(chained, state, x, n=n)
+    if autotune_unroll:
+        from constant_memory_waveglow_tpu.flows import scan_group
+        scan_group.set_scan_unroll(1)  # don't leak into later entries
     tflops = flops / dt / 1e12 if flops else None
-    return batch * segment / sr / dt, tflops
+    return batch * segment / sr / dt, tflops, chosen_unroll
 
 
 def bench_waveflow_synthesis(batch=16, seconds=10.0, sr=22050, hop=256):
@@ -199,6 +222,35 @@ def bench_waveflow_synthesis(batch=16, seconds=10.0, sr=22050, hop=256):
     infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 1.0))
     dt = _time_chained_calls(infer, h, n=3)
     return batch * frames * hop / dt / 1000.0
+
+
+def bench_family_synthesis(family, batch=16, seconds=10.0, sr=22050):
+    """Batched synthesis kHz for the non-flagship families at their shipped
+    configs (fp32 params, 'default' precision — inference.py defaults).
+    The reference's per-model claims: ``/root/reference/README.md:64-82``."""
+    from constant_memory_waveglow_tpu.models import (MelGlow, MRWaveGlow,
+                                                     WSRGlow)
+    from constant_memory_waveglow_tpu.ops import set_default_precision
+    from constant_memory_waveglow_tpu.ops.weightnorm import fuse_weight_norms
+
+    set_default_precision("default")
+    key = jax.random.PRNGKey(0)
+    if family == "wsrglow":
+        model = WSRGlow(upsample_rate=2, memory_efficient=False)
+        t_low = (int(seconds * sr) // 2 // 8) * 8
+        h = jax.random.normal(jax.random.PRNGKey(1), (batch, t_low)) * 0.1
+        out_samples = t_low * model.upsample_rate
+    else:
+        cls, args = ((MelGlow, _MELGLOW_ARGS) if family == "melglow"
+                     else (MRWaveGlow, _MRWG_ARGS))
+        model = cls(memory_efficient=False, **args)
+        frames = int(seconds * sr) // 256
+        h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames))
+        out_samples = frames * 256
+    params = fuse_weight_norms(model.init(key))
+    infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 0.7))
+    dt = _time_chained_calls(infer, h, n=3)
+    return batch * out_samples / dt / 1000.0
 
 
 def _backend_alive(timeout_s=180):
@@ -257,51 +309,90 @@ def main():
         details["synthesis_khz_b1"] = f"failed: {e}"
     try:
         # the SHIPPED trainer default (train.py with no flags): AMP (bf16
-        # compute, fp32 master params) at 'default' matmul precision
-        a_s, tflops = bench_train_step(precision="default",
-                                       compute_dtype="bfloat16",
-                                       with_flops=True)
+        # compute, fp32 master params) at 'default' matmul precision,
+        # --scan-unroll auto (compile-time memory autotune; picks 4 on a
+        # v5e with headroom)
+        a_s, tflops, unroll = bench_train_step(precision="default",
+                                               compute_dtype="bfloat16",
+                                               with_flops=True,
+                                               autotune_unroll=True)
         details["train_audio_s_per_s_b8"] = round(a_s, 2)
+        details["train_b8_auto_unroll"] = unroll
         if tflops:
             details["train_tflops_per_s"] = round(tflops, 1)
             peak = _peak_flops()
             if peak:
                 details["train_mfu_est_vs_bf16_peak"] = round(
                     tflops * 1e12 / peak, 3)
+        # the constant-memory contract point (--scan-unroll 1): strictly
+        # one flow's WN internals live at a time
+        details["train_audio_s_per_s_b8_unroll1"] = round(
+            bench_train_step(precision="default",
+                             compute_dtype="bfloat16")[0], 2)
         # the conservative opt-out (train.py --fp32): fp32 compute, 'high'
         details["train_audio_s_per_s_b8_fp32"] = round(
             bench_train_step(precision="high")[0], 2)
         # the reference's headline config is batch 24 (README.md:53-57)
-        details["train_audio_s_per_s_b24"] = round(
-            bench_train_step(batch=24, precision="default",
-                             compute_dtype="bfloat16", n=6)[0], 2)
+        a_s24, _, unroll24 = bench_train_step(batch=24, precision="default",
+                                              compute_dtype="bfloat16", n=6,
+                                              autotune_unroll=True)
+        details["train_audio_s_per_s_b24"] = round(a_s24, 2)
+        details["train_b24_auto_unroll"] = unroll24
         details["train_audio_s_per_s_b24_fp32"] = round(
             bench_train_step(batch=24, precision="high", n=6)[0], 2)
-        # the throughput-over-memory opt-in (train.py --scan-unroll 4):
-        # whole-group unroll, +~1.5 GB peak temp (flows/scan_group.py)
-        from constant_memory_waveglow_tpu.flows import scan_group
-        scan_group.set_scan_unroll(4)
-        try:
-            details["train_audio_s_per_s_b8_unroll4"] = round(
-                bench_train_step(precision="default",
-                                 compute_dtype="bfloat16")[0], 2)
-        finally:
-            scan_group.set_scan_unroll(1)
     except Exception as e:  # keep the headline metric robust
         details["train_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         details["waveflow_synthesis_khz_b16"] = round(bench_waveflow_synthesis(), 1)
     except Exception as e:
         details["waveflow_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- per-family table: synthesis kHz + train audio-s/s at the shipped
+    # trainer default (AMP), batch 8 — every family, every round (VERDICT r3
+    # next #3; the reference's per-model claims, README.md:64-82)
+    for fam in ("melglow", "mr_waveglow", "wsrglow"):
+        try:
+            details[f"{fam}_synthesis_khz_b16"] = round(
+                bench_family_synthesis(fam), 1)
+        except Exception as e:
+            details[f"{fam}_synth_error"] = f"{type(e).__name__}: {e}"[:200]
+    family_train = {
+        "waveflow": dict(cfg=_train_cfg(
+            "WaveFlow", dict(_WAVEFLOW_ARGS, memory_efficient=True)),
+            segment=16000),
+        "melglow": dict(cfg=_train_cfg(
+            "MelGlow", dict(_MELGLOW_ARGS, memory_efficient=True)),
+            segment=22016),
+        "mr_waveglow": dict(cfg=_train_cfg(
+            "MRWaveGlow", dict(_MRWG_ARGS, memory_efficient=True)),
+            segment=16000),
+        "wsrglow": dict(cfg=_train_cfg(
+            "WSRGlow", {"upsample_rate": 2, "memory_efficient": True},
+            conditioner={"type": "STFTDecimate", "args": {"r": 2}},
+            sigma=1.0), segment=8192),
+    }
+    for fam, spec in family_train.items():
+        try:
+            details[f"{fam}_train_audio_s_per_s_b8"] = round(
+                bench_train_step(batch=8, segment=spec["segment"],
+                                 precision="default",
+                                 compute_dtype="bfloat16",
+                                 cfg=spec["cfg"], n=6)[0], 2)
+        except Exception as e:
+            details[f"{fam}_train_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- constant-memory headline: XLA peak temp at the reference's README
+    # table config (ch256, bs24; README.md:53-57 reports 4951 MB total),
+    # measured as a SERIES over flow counts so the flat-in-depth claim is
+    # machine-checked every round — for EVERY memory_efficient family plus
+    # the construct-inverted mode (the reference's guarantee covers them
+    # all, model/efficient_modules.py:99-279), and contrasted against naive
+    # autodiff (the reference's README table's missing row: naive did not
+    # fit at 12 flows)
     try:
-        # constant-memory headline: XLA peak temp at the reference's README
-        # table config (ch256, bs24; README.md:53-57 reports 4951 MB total),
-        # measured as a SERIES over flow counts so the flat-in-depth claim
-        # is machine-checked every round (slope ~0 MB/flow; the reference's
-        # naive baseline grows ~linearly and did not fit at 12 flows)
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
-        from memory_check import peak_temp_bytes
+        from memory_check import peak_temp_bytes, total_flows
         from constant_memory_waveglow_tpu.ops import set_default_precision
         set_default_precision("highest")  # tools/memory_check.py default
         flows_series, temps = [4, 8, 12, 16], []
@@ -320,34 +411,52 @@ def main():
             details["train_peak_temp_mb_per_flow_slope"] = round(
                 (temps[-1] - temps[0]) / (flows_series[-1] - flows_series[0])
                 / 2**20, 2)
+        # naive contrast at the same config (compile-level, so it reports
+        # even where execution would not fit on the chip)
+        naive = {}
+        for nf in (4, 12):
+            temp, total = peak_temp_bytes(flows=nf, channels=256, depth=8,
+                                          batch=24, segment=16000,
+                                          memory_efficient=False)
+            if temp is not None:
+                naive[nf] = temp
+                if nf == 12:
+                    details["train_peak_temp_mb_naive_12flows"] = round(
+                        temp / 2**20, 1)
+                    details["train_peak_total_mb_naive_12flows"] = round(
+                        total / 2**20, 1)
+        if len(naive) == 2:
+            details["train_peak_temp_mb_per_flow_slope_naive"] = round(
+                (naive[12] - naive[4]) / 8 / 2**20, 1)
     except Exception as e:
         details["memcheck_error"] = f"{type(e).__name__}: {e}"[:200]
-    if os.environ.get("CMWG_BENCH_FULL"):  # extra (slow-compile) variants
+    mem_specs = {
+        "melglow": dict(flows=[4, 12], channels=48, depth=7, batch=8,
+                        segment=22016),
+        "mr_waveglow": dict(flows=[2, 6], channels=256, depth=8, batch=24,
+                            segment=16000),
+        "waveglow_rm": dict(flows=[4, 12], channels=256, depth=8, batch=24,
+                            segment=16000),
+    }
+    for arch, spec in mem_specs.items():
         try:
-            details["synthesis_khz_b16_bf16"] = round(
-                bench_synthesis(dtype=jnp.bfloat16), 1)
+            series = {}
+            for nf in spec["flows"]:
+                temp, _ = peak_temp_bytes(
+                    flows=nf, channels=spec["channels"], depth=spec["depth"],
+                    batch=spec["batch"], segment=spec["segment"],
+                    memory_efficient=True, arch=arch)
+                if temp is not None:
+                    series[total_flows(arch, nf)] = temp
+            if len(series) == 2:
+                ks = sorted(series)
+                details[f"train_peak_temp_mb_by_flows_{arch}"] = {
+                    str(k): round(series[k] / 2**20, 1) for k in ks}
+                details[f"train_peak_temp_slope_{arch}"] = round(
+                    (series[ks[1]] - series[ks[0]]) / (ks[1] - ks[0])
+                    / 2**20, 2)
         except Exception as e:
-            details["synthesis_bf16_error"] = str(e)[:120]
-        wf_args = dict(flows=8, n_group=64, n_mels=80, use_conv1x1=False,
-                       memory_efficient=False, dilation_channels=64,
-                       residual_channels=64, skip_channels=64)
-        try:
-            details["waveflow_train_audio_s_per_s_b8"] = round(
-                bench_train_step(cfg=_train_cfg("WaveFlow", wf_args),
-                                 precision="high", n=6)[0], 2)
-        except Exception as e:
-            details["waveflow_train_error"] = str(e)[:120]
-        mg_args = dict(flows=12, n_group=8, n_early_every=4, n_early_size=2,
-                       hop_size=256, n_mels=80, memory_efficient=False,
-                       dilation_channels=48, residual_channels=48,
-                       skip_channels=48, depth=7, radix=3,
-                       predict_channels=64, predict_layers=3, bias=False)
-        try:
-            details["melglow_train_audio_s_per_s_b8"] = round(
-                bench_train_step(cfg=_train_cfg("MelGlow", mg_args),
-                                 precision="high", n=6)[0], 2)
-        except Exception as e:
-            details["melglow_train_error"] = str(e)[:120]
+            details[f"memcheck_{arch}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({
         "metric": "waveglow_synthesis",
         "value": round(khz, 1),

@@ -243,7 +243,8 @@ class MelGlow(FlowBase):
     has_state = True
 
     def __init__(self, flows, n_group, n_early_every, n_early_size, hop_size,
-                 n_mels, memory_efficient, reverse_mode=False, **lvc_kwargs):
+                 n_mels, memory_efficient, reverse_mode=False, scan_flows=True,
+                 **lvc_kwargs):
         super().__init__(hop_size, reverse_mode)
         self.flows = flows
         self.n_group = n_group
@@ -251,6 +252,14 @@ class MelGlow(FlowBase):
         self.n_early_size = n_early_size
         self.n_mels = n_mels
         self.mem_efficient = memory_efficient
+        # same structural constant-memory engine as WaveGlow: equal-width
+        # flow runs scan as one group-level custom_vjp (flows/scan_group.py).
+        # The LVC coupling fits the same contract — f_apply is
+        # WN_LVC.apply({"p": params, "s": bn_state}, xa, y); the BN state
+        # rides the stacked "WN" pytree (its cotangents are zeros: training
+        # couplings use batch stats) — the reference gives MelGlow the
+        # identical AffineCouplingFunc guarantee (model/melglow.py:203-258).
+        self.scan_flows = scan_flows and memory_efficient
         self.upsample_factor = hop_size // n_group
 
         self.invconv1x1 = []
@@ -258,10 +267,15 @@ class MelGlow(FlowBase):
         self.couplings = {True: [], False: []}  # train -> blocks
         n_remaining = n_group
         self.z_split_sizes = []
+        self.flow_groups = []  # runs of equal-width flows (early splits between)
         for k in range(flows):
             if k % n_early_every == 0 and k:
                 n_remaining -= n_early_size
                 self.z_split_sizes.append(n_early_size)
+                self.flow_groups.append([])
+            if not self.flow_groups:
+                self.flow_groups.append([])
+            self.flow_groups[-1].append(k)
             self.invconv1x1.append(InvertibleConv1x1(
                 n_remaining, memory_efficient=memory_efficient,
                 reverse_mode=reverse_mode))
@@ -272,6 +286,13 @@ class MelGlow(FlowBase):
                     WN_LVC(train=train, **cfg),
                     memory_efficient=memory_efficient, reverse_mode=reverse_mode))
         self.z_split_sizes.append(n_remaining)
+        from ..flows.scan_group import make_flow_group
+        # (forward, reverse, fwd_eff, rev_eff) per group, per BN mode
+        self._group_fns = {
+            train: [make_flow_group(self.couplings[train][g[0]].F.apply,
+                                    reverse_mode=reverse_mode)
+                    for g in self.flow_groups]
+            for train in (False, True)}
 
     def init(self, key):
         keys = jax.random.split(key, 2 * self.flows)
@@ -282,7 +303,62 @@ class MelGlow(FlowBase):
             v = self.couplings[False][k].init(keys[2 * k + 1])
             params["WNs"].append(v["F"]["p"])
             state["WNs"].append(v["F"]["s"])
+        if self.scan_flows:
+            # native layout is flow-stacked per group (zero per-step
+            # restacking copies — MelGlow predictor params are ~25 MB/flow
+            # at the LJ config, so lazy stacking would show up as a
+            # params-sized temp slope); canonical on-disk layout stays
+            # per-flow lists (Experiment.canonical_state)
+            params = self.stack_param_layout(params)
+            state = self.stack_param_layout(state)
         return {"params": params, "state": state}
+
+    # ------------------------------------------------------- layout conversion
+    @staticmethod
+    def canonical_root(d):
+        """Canonical (per-flow list) roots inside a train-state tree: the
+        params root {"invconv1x1", "WNs"} (Adam moments mirror it) and the
+        BN-state root {"WNs"} alone."""
+        return ("invconv1x1" in d and "WNs" in d) or set(d) == {"WNs"}
+
+    def _stack_lists(self, inv_list, wn_list):
+        groups = []
+        for g in self.flow_groups:
+            gp = {"WN": jax.tree_util.tree_map(
+                lambda *a: jnp.stack(a), *[wn_list[k] for k in g])}
+            if inv_list is not None:
+                gp["invconv"] = jax.tree_util.tree_map(
+                    lambda *a: jnp.stack(a), *[inv_list[k] for k in g])
+            groups.append(gp)
+        return groups
+
+    def stack_param_layout(self, legacy):
+        """Per-flow list layout -> flow-stacked scan-group layout (params-
+        shaped and state-shaped trees both)."""
+        if "groups" in legacy:
+            return legacy
+        out = {k: v for k, v in legacy.items() if k not in ("invconv1x1", "WNs")}
+        out["groups"] = self._stack_lists(legacy.get("invconv1x1"),
+                                          legacy["WNs"])
+        return out
+
+    def unstack_param_layout(self, params):
+        """Flow-stacked layout -> per-flow list layout (tooling/export)."""
+        if "groups" not in params:
+            return params
+        inv, wns = [], []
+        for gp in params["groups"]:
+            n = jax.tree_util.tree_leaves(gp["WN"])[0].shape[0]
+            for i in range(n):
+                take = lambda a, i=i: a[i]
+                wns.append(jax.tree_util.tree_map(take, gp["WN"]))
+                if "invconv" in gp:
+                    inv.append(jax.tree_util.tree_map(take, gp["invconv"]))
+        out = {k: v for k, v in params.items() if k != "groups"}
+        out["WNs"] = wns
+        if inv:
+            out["invconv1x1"] = inv
+        return out
 
     # ----------------------------------------------------------------- common
     def _squeeze(self, x):
@@ -297,38 +373,74 @@ class MelGlow(FlowBase):
     def _flow_vars(self, params, state, k):
         return {"F": {"p": params["WNs"][k], "s": state["WNs"][k]}}
 
+    def _group_vars(self, params, state, gi):
+        """Stacked scan-group variables for group gi: native when the trees
+        carry the scan-group layout, lazily stacked otherwise (torch
+        imports, parity tooling).  BN state rides the "WN" pytree as
+        ``{"p": params, "s": state}`` — exactly what WN_LVC.apply eats."""
+        if "groups" in params:
+            return {"invconv": params["groups"][gi]["invconv"],
+                    "WN": {"p": params["groups"][gi]["WN"],
+                           "s": state["groups"][gi]["WN"]}}
+        g = self.flow_groups[gi]
+        stk = lambda *a: jnp.stack(a)
+        return {
+            "invconv": jax.tree_util.tree_map(
+                stk, *[params["invconv1x1"][k] for k in g]),
+            "WN": {"p": jax.tree_util.tree_map(
+                       stk, *[params["WNs"][k] for k in g]),
+                   "s": jax.tree_util.tree_map(
+                       stk, *[state["WNs"][k] for k in g])}}
+
     def _run_forward(self, params, state, x, h, train):
         x = self._squeeze(x)
         y = h[..., : x.shape[2] // self.upsample_factor]
-        couplings = self.couplings[train]
 
         output_audio = []
         logdet = jnp.zeros((x.shape[0],), x.dtype)
-        for k in range(self.flows):
-            if k % self.n_early_every == 0 and k:
-                output_audio.append(x[:, : self.n_early_size])
-                x = x[:, self.n_early_size :]
-            x, log_det_w = self.invconv1x1[k].forward(params["invconv1x1"][k], x)
-            x, log_s = couplings[k].forward(self._flow_vars(params, state, k), x, y)
-            logdet = logdet + log_det_w + log_s.sum((1, 2))
+        if self.scan_flows:
+            for gi in range(len(self.flow_groups)):
+                if gi:
+                    output_audio.append(x[:, : self.n_early_size])
+                    x = x[:, self.n_early_size :]
+                fwd_eff = self._group_fns[train][gi][2]
+                x, ld = fwd_eff(self._group_vars(params, state, gi), x, y)
+                logdet = logdet + ld
+        else:
+            couplings = self.couplings[train]
+            for k in range(self.flows):
+                if k % self.n_early_every == 0 and k:
+                    output_audio.append(x[:, : self.n_early_size])
+                    x = x[:, self.n_early_size :]
+                x, log_det_w = self.invconv1x1[k].forward(params["invconv1x1"][k], x)
+                x, log_s = couplings[k].forward(self._flow_vars(params, state, k), x, y)
+                logdet = logdet + log_det_w + log_s.sum((1, 2))
         output_audio.append(x)
         return self._unsqueeze(jnp.concatenate(output_audio, 1)), logdet
 
     def _run_reverse(self, params, state, z, h, train):
         z = self._squeeze(z)
         y = h[..., : z.shape[2] // self.upsample_factor]
-        couplings = self.couplings[train]
 
         splits = np.cumsum(self.z_split_sizes)[:-1]
         *remained_z, z = jnp.split(z, splits, axis=1)
 
         logdet = jnp.zeros((z.shape[0],), z.dtype)
-        for k in range(self.flows - 1, -1, -1):
-            z, log_s = couplings[k].reverse(self._flow_vars(params, state, k), z, y)
-            z, log_det_w = self.invconv1x1[k].reverse(params["invconv1x1"][k], z)
-            logdet = logdet + log_det_w + log_s.sum((1, 2))
-            if k % self.n_early_every == 0 and k:
-                z = jnp.concatenate([remained_z.pop(), z], 1)
+        if self.scan_flows:
+            for gi in range(len(self.flow_groups) - 1, -1, -1):
+                rev_eff = self._group_fns[train][gi][3]
+                z, ld = rev_eff(self._group_vars(params, state, gi), z, y)
+                logdet = logdet + ld
+                if gi:
+                    z = jnp.concatenate([remained_z.pop(), z], 1)
+        else:
+            couplings = self.couplings[train]
+            for k in range(self.flows - 1, -1, -1):
+                z, log_s = couplings[k].reverse(self._flow_vars(params, state, k), z, y)
+                z, log_det_w = self.invconv1x1[k].reverse(params["invconv1x1"][k], z)
+                logdet = logdet + log_det_w + log_s.sum((1, 2))
+                if k % self.n_early_every == 0 and k:
+                    z = jnp.concatenate([remained_z.pop(), z], 1)
         return self._unsqueeze(z), logdet
 
     # --------------------------------------------------------- public surface
@@ -350,6 +462,17 @@ class MelGlow(FlowBase):
         return z, logdet, new_state
 
     def _update_bn(self, params, state, y):
+        if "groups" in state:
+            # native stacked layout: one vmapped running-stat pass per
+            # group over the flow axis (the Predictor config is identical
+            # across flows — only the coupling's in_channels varies, and
+            # the predictor never sees it)
+            pred = self.couplings[True][0].F.pred
+            upd = jax.vmap(pred.new_state, in_axes=(0, 0, None))
+            return {"groups": [
+                {"WN": upd(params["groups"][gi]["WN"]["pred"],
+                           state["groups"][gi]["WN"], y)}
+                for gi in range(len(self.flow_groups))]}
         new = {"WNs": []}
         for k in range(self.flows):
             pred = self.couplings[True][k].F.pred

@@ -47,9 +47,9 @@ class WaveGlow(FlowBase):
         # scan over equal-width flow groups: one custom_vjp per group whose
         # backward is a reversed lax.scan -> structurally one flow's WN
         # internals live at a time (see flows/scan_group.py).  reverse_mode
-        # swaps block directions inside the model-level loops, a combination
-        # the scanned units don't model — those (rare) models stay unrolled.
-        self.scan_flows = scan_flows and memory_efficient and not reverse_mode
+        # (construct-inverted training) selects the inverted-unit group
+        # scans — the guarantee holds in both construction modes.
+        self.scan_flows = scan_flows and memory_efficient
 
         self.upsample_factor = self._hop_length // n_group
         self.sub_win_size = self.upsample_factor * 2 + 1
@@ -78,7 +78,8 @@ class WaveGlow(FlowBase):
         self.z_split_sizes.append(n_remaining)
         # per-group scanned flow functions (forward, reverse, fwd_eff, rev_eff)
         self._group_fns = [
-            make_flow_group(self.WNs[g[0]].F.apply) for g in self.flow_groups]
+            make_flow_group(self.WNs[g[0]].F.apply, reverse_mode=reverse_mode)
+            for g in self.flow_groups]
 
     # ------------------------------------------------------------------ params
     def init(self, key):

@@ -23,11 +23,21 @@ overlap-discard impractical (hours of halo).  But each compounding hop is
 attenuated by the coupling Jacobian (|d x_g / d x_{g-1}| ~ the coupling
 strength), so the influence beyond k stack-reaches falls off geometrically;
 ``WAVEFLOW_AR_ROUNDS`` stack-reaches per flow bounds the error to
-(coupling strength)^ROUNDS of the halo-edge error.  The default (2) gives
-< 1e-5 max deviation for trained-scale couplings (measured:
-``tests/test_streaming.py::test_waveflow_streaming_error_decays``); raise it
-(or pass ``halo_frames``) for unusually hot couplings.  Reference anchor:
-the arbitrary-length synthesis claim, ``inference.py:50-57``.
+(coupling strength)^ROUNDS of the halo-edge error.
+
+The bound is MODEL-DEPENDENT and must be measured on the checkpoint being
+served (``serving._waveflow_streaming_check`` does so at export, recording
+``streaming_max_err`` in meta.json and auto-raising the rounds).  Measured
+on the canonical trained 64x64 checkpoint (fp32, 'highest' precision):
+max deviation 0.052 at rounds 2 -> 0.0098 at 3 -> 0.0041 at 4 (~4-5x decay
+per round) — NOT the <=1e-5 a toy model suggests
+(``tests/test_streaming.py::test_waveflow_streaming_error_decays`` shows
+the decay law; the magnitude scales with trained coupling heat).  Under
+bf16 ('default') matmul precision the AR inverse is numerically CHAOTIC
+and chunked output diverges entirely (measured ~38 on the same probe) —
+chunk WaveFlow only at 'highest'.  Utterances served in one window are
+exact regardless.  Reference anchor: the arbitrary-length synthesis
+claim, ``inference.py:50-57``.
 """
 
 from __future__ import annotations
@@ -101,8 +111,9 @@ def synthesize_streaming(model, params, h, key=None, z=None, sigma=1.0, *,
 
     Bit-equal to the full pass for WaveGlow/WSRGlow/MelGlow/MRWaveGlow
     (closed-form receptive-field halo); approximately equal for WaveFlow
-    (AR-compounded reach truncated at ``WAVEFLOW_AR_ROUNDS`` stack-reaches,
-    <= ~1e-5 max deviation for trained-scale couplings — module docstring).
+    (AR-compounded reach truncated at ``WAVEFLOW_AR_ROUNDS`` stack-reaches
+    — checkpoint-dependent, measure at export; see module docstring for
+    the trained-64x64 numbers and the bf16 chaos caveat).
 
     h: conditioner — mel [B, n_mels, F] (WaveGlow) or low-rate waveform
     [B, T_low] (WSRGlow, frame = 8 low-rate samples).  z defaults to
@@ -196,6 +207,14 @@ def synthesize_streaming_serving(served, h, key=None, z=None, sigma=1.0, *,
     the window allows (``N - 2*halo``).
     """
     meta = served.meta
+    if (meta.get("family") == "WaveFlow"
+            and meta.get("streaming_equivalence") == "unmeasured"):
+        raise ValueError(
+            "this WaveFlow artifact was exported with streaming_check="
+            "'skip' — its chunked-synthesis deviation is unmeasured and "
+            "the AR inverse is chaotic under fast-precision matmuls; "
+            "serve one-pass (utterances matching the window) or re-export "
+            "with the check enabled")
     if halo_frames is None:
         halo_frames = meta.get("halo_frames")
         if halo_frames is None:

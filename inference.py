@@ -107,8 +107,9 @@ def main(ckpt, infile, outfile, sigma, bf16, n_group=None, platform=None,
     if chunk_frames:
         # overlap-discard chunking: bounded memory for arbitrarily long
         # files; bit-equal to the one-pass synthesis for the WaveGlow
-        # family, approximately equal (<= ~1e-5, WAVEFLOW_AR_ROUNDS-
-        # bounded) for WaveFlow's AR inverse
+        # family, approximately equal (WAVEFLOW_AR_ROUNDS-bounded,
+        # checkpoint-dependent — measured at serving export; 'highest'
+        # precision only, see streaming.py) for WaveFlow's AR inverse
         from constant_memory_waveglow_tpu.streaming import synthesize_streaming
 
         infer = lambda p, h, k: synthesize_streaming(

@@ -20,6 +20,9 @@ def main():
     port = sys.argv[3]
     wav_dir = sys.argv[4]
     out_path = sys.argv[5]
+    # optional: mode [dp|tp|save|resume], ckpt dir for save/resume
+    mode = sys.argv[6] if len(sys.argv) > 6 else "dp"
+    ckpt_dir = sys.argv[7] if len(sys.argv) > 7 else None
 
     # sitecustomize may have imported jax already (TPU plugin registration),
     # so env vars are too late — use config updates, like tests/conftest.py
@@ -44,31 +47,70 @@ def main():
 
     exp = Experiment(TINY_CONFIG)
     state = exp.init_state(jax.random.PRNGKey(0))  # same seed on every rank
-    mesh = make_mesh(data=jax.device_count(), model=1)
-    state = replicate(mesh, state)
+    if mode == "tp":
+        # data x model mesh across processes: 2 procs x 2 devices ->
+        # data=2, model=2 — every collective (gradient all-reduce over
+        # `data`, WN channel psum over `model`) crosses the process
+        # boundary (VERDICT r3 next #9a)
+        from constant_memory_waveglow_tpu.parallel.tp import shard_params_tp
+
+        mesh = make_mesh(data=jax.device_count() // 2, model=2)
+        state = replicate(mesh, state)
+        params = shard_params_tp(mesh, state["params"])
+        state = dict(state, params=params,
+                     opt_state=exp.optimizer.init(params))
+    else:
+        mesh = make_mesh(data=jax.device_count(), model=1)
+        state = replicate(mesh, state)
 
     dataset = build_dataset({"type": "RandomWAVDataset", "args": {
         "data_dir": wav_dir, "size": 8, "segment": 4096, "deterministic": True}})
     loader = DataLoader(dataset, batch_size=4, num_workers=2, seed=0,
                         process_count=nproc, process_id=pid)
 
+    from constant_memory_waveglow_tpu.training import checkpoint as ckpt_mod
+
+    epochs = [0]
+    if mode == "resume":
+        # multi-host restore: both ranks restore the epoch-0 collective
+        # save, then train epoch 1 (save->kill->resume equivalence,
+        # VERDICT r3 next #9b)
+        state = exp.native_state(
+            ckpt_mod.restore_checkpoint(ckpt_dir, exp.canonical_state(
+                jax.device_get(state))))
+        state = replicate(mesh, state)
+        epochs = [1]
+    elif mode == "save":
+        epochs = [0, 1]
+
     step_fn = exp.make_train_step(donate=False)
     losses = []
-    for local in loader.epoch(0):
-        assert local.shape == (4 // nproc, 4096)
-        batch = make_global_batch(mesh, local)
-        state, metrics = step_fn(state, batch)
-        losses.append(float(metrics["loss"]))
+    for epoch in epochs:
+        for local in loader.epoch(epoch):
+            assert local.shape == (4 // nproc, 4096)
+            batch = make_global_batch(mesh, local)
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        if mode == "save" and epoch == 0:
+            # the COLLECTIVE save path (orbax runs a global barrier
+            # internally; a rank-0-only call deadlocks — the round-2 bug
+            # class this regression-tests)
+            ckpt_mod.save_checkpoint(
+                ckpt_dir, int(jax.device_get(state["step"])),
+                exp.canonical_state(jax.device_get(state)), TINY_CONFIG)
+            ckpt_mod.wait_for_saves()
 
     # per-epoch test-file reconstruction, the TestFileCallBack path: the cond
     # and the PRNG key must be mesh-replicated before entering the jit — a
     # single-device-committed input mixed with mesh-spanning state is a hard
     # error in multi-controller JAX (train.py does the same replication)
-    y = dataset[0][None]
-    cond = replicate(mesh, np.asarray(jax.jit(exp.conditioner)(y)))
-    key = replicate(mesh, np.asarray(jax.random.PRNGKey(0)))
-    pred = exp.infer(state, cond, key, sigma=0.7)
-    pred_sum = float(np.abs(np.asarray(pred)).sum())
+    pred_sum = 0.0
+    if mode == "dp":
+        y = dataset[0][None]
+        cond = replicate(mesh, np.asarray(jax.jit(exp.conditioner)(y)))
+        key = replicate(mesh, np.asarray(jax.random.PRNGKey(0)))
+        pred = exp.infer(state, cond, key, sigma=0.7)
+        pred_sum = float(np.abs(np.asarray(pred)).sum())
 
     with open(out_path, "w") as f:
         json.dump({"losses": losses, "step": int(state["step"]),

@@ -221,3 +221,85 @@ def test_wsrglow_eval_cli(workspace, tmp_path):
     # (with a zero-init ckpt the flows are identity and LSD is independent
     # of the degradation; that the two modes actually produce different
     # low-rate signals is unit-tested in test_conditioners.py)
+
+
+def test_wsrglow_eval_cli_bucketed_compiles(workspace, tmp_path):
+    """A sweep over files of DISTINCT lengths must not compile per file:
+    the default --len-bucket pads low-rate inputs to a shared bucket, so
+    the jitted reverse sees O(max_len/bucket) shapes, not O(files)
+    (VERDICT r3 next #4; the reference sweeps whole test sets,
+    ``vctk_wsrglow_infer.py:70-89``)."""
+    import jax
+
+    from constant_memory_waveglow_tpu.training import Experiment, checkpoint
+    from constant_memory_waveglow_tpu.utils.audio import save_wav
+
+    config = {
+        "name": "wsr_bucket",
+        "arch": ARCHES["WSRGlow"],
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-4, "weight_decay": 0}},
+        "loss": {"type": "WaveGlowLoss", "args": {"sigma": 1.0,
+                                                  "elementwise_mean": True}},
+        "conditioner": {"type": "STFTDecimate", "args": {"r": 2}},
+    }
+    exp = Experiment(config)
+    state = jax.device_get(exp.init_state(jax.random.PRNGKey(0)))
+    ckpt = str(tmp_path / "ckpt")
+    checkpoint.save_checkpoint(ckpt, 0, state, config)
+
+    wavs = tmp_path / "varlen"
+    wavs.mkdir()
+    rng = np.random.default_rng(1)
+    for i, n in enumerate([9000, 12000, 15000, 17800]):  # all unique
+        save_wav(str(wavs / f"{i}.wav"),
+                 rng.uniform(-0.4, 0.4, n).astype(np.float32), 22050)
+
+    r = run(["vctk_wsrglow_infer.py", str(wavs), "--ckpt", ckpt, "-q", "2",
+             "--platform", "cpu"], timeout=600)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+    shape_line = [ln for ln in r.stdout.splitlines()
+                  if ln.startswith("distinct synthesis shapes:")][0]
+    # every file's low length < the default bucket -> ONE shared shape
+    assert shape_line.startswith("distinct synthesis shapes: 1 over 4"), \
+        shape_line
+    assert np.isfinite(float(r.stdout.strip().splitlines()[-1]))
+
+    # opt-out reproduces the per-length behavior (4 distinct shapes)
+    r = run(["vctk_wsrglow_infer.py", str(wavs), "--ckpt", ckpt, "-q", "2",
+             "--len-bucket", "0", "--platform", "cpu"], timeout=600)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+    shape_line = [ln for ln in r.stdout.splitlines()
+                  if ln.startswith("distinct synthesis shapes:")][0]
+    assert shape_line.startswith("distinct synthesis shapes: 4 over 4"), \
+        shape_line
+
+
+def test_wsrglow_bucket_padding_is_tail_local():
+    """Bucket padding must only perturb the tail of the kept audio: with the
+    same noise on the real region, the padded reverse equals the unpadded
+    one everywhere except the final reverse-receptive-field."""
+    import jax
+    import jax.numpy as jnp
+
+    from constant_memory_waveglow_tpu.models.wsrglow import WSRGlow
+    from constant_memory_waveglow_tpu.streaming import reverse_halo_frames
+
+    model = WSRGlow(upsample_rate=2, memory_efficient=False,
+                    dilation_channels=16, residual_channels=16,
+                    skip_channels=16, depth=3, radix=3, bias=False)
+    params = model.init(jax.random.PRNGKey(0))
+    low_len, pad = 2048, 512
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, low_len)) * 0.1
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, low_len * 2))
+    h_p = jnp.pad(h, ((0, 0), (0, pad)))
+    z_p = jnp.concatenate(
+        [z, jax.random.normal(jax.random.PRNGKey(3), (1, pad * 2))], -1)
+
+    full, _ = model.reverse(params, z, h)
+    padded, _ = model.reverse(params, z_p, h_p)
+    kept = np.asarray(padded)[:, : low_len * 2]
+    halo = reverse_halo_frames(model) * model._hop_length
+    assert halo < low_len * 2  # the test must actually compare a region
+    head = slice(0, low_len * 2 - halo)
+    np.testing.assert_allclose(kept[:, head], np.asarray(full)[:, head],
+                               atol=1e-5, rtol=1e-4)

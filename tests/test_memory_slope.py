@@ -1,11 +1,13 @@
 """Machine-check of the constant-memory claim: compiled peak TEMP memory is
-~flat in flow depth (slope < 5 MB/flow).
+~flat in flow depth (slope < 5 MB/flow) for EVERY memory_efficient family.
 
 The reference's whole point is activation memory constant in the number of
 flows (``/root/reference/README.md:50-57``: 4951 MB at 12 flows where naive
-autograd did not fit).  ``bench.py`` emits the full flows series at the
-flagship config every round; this test regression-proofs the property at a
-smaller config so a slope regression fails CI, not just the bench report.
+autograd did not fit), and its trick covers every family that sets
+``memory_efficient`` (``model/efficient_modules.py:99-279``).  ``bench.py``
+emits the full flows series at the flagship configs every round; this test
+regression-proofs the property per family at a smaller config so a slope
+regression fails CI, not just the bench report.
 
 XLA's CPU buffer assignment reports temp=0, so the compile-only measurement
 needs the TPU backend; the test probes for it in a killable subprocess and
@@ -31,15 +33,16 @@ _MEASURE = """
 import json, sys
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, {tools!r})
-from memory_check import peak_temp_bytes
+from memory_check import peak_temp_bytes, total_flows
 from constant_memory_waveglow_tpu.ops import set_default_precision
 set_default_precision("highest")
+arch = {arch!r}
 out = {{}}
-for flows in (2, 6, 10):
+for flows in (2, 6):
     temp, total = peak_temp_bytes(flows=flows, channels=64, depth=4,
                                   batch=4, segment=8192,
-                                  memory_efficient=True)
-    out[flows] = temp
+                                  memory_efficient=True, arch=arch)
+    out[total_flows(arch, flows)] = temp
 print("RESULT " + json.dumps(out))
 """
 
@@ -51,7 +54,9 @@ def _run(code, timeout):
                           capture_output=True, text=True, env=env)
 
 
-def test_peak_temp_flat_in_flow_depth():
+@pytest.mark.parametrize("arch", ["waveglow", "melglow", "mr_waveglow",
+                                  "waveglow_rm"])
+def test_peak_temp_flat_in_flow_depth(arch):
     try:
         r = _run(_PROBE, timeout=120)
     except subprocess.TimeoutExpired:
@@ -60,8 +65,9 @@ def test_peak_temp_flat_in_flow_depth():
         pytest.skip(f"no usable TPU backend: {r.stderr[-200:]}")
 
     try:
-        r = _run(_MEASURE.format(repo=REPO, tools=os.path.join(REPO, "tools")),
-                 timeout=1500)
+        r = _run(_MEASURE.format(repo=REPO, tools=os.path.join(REPO, "tools"),
+                                 arch=arch),
+                 timeout=1800)
     except subprocess.TimeoutExpired:
         pytest.skip("TPU compile timed out (chip busy)")
     assert r.returncode == 0, r.stderr[-2000:]

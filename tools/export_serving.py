@@ -43,6 +43,23 @@ def main():
                         "time axis (required to embed the WaveFlow Pallas "
                         "AR kernel; see module docstring)")
     p.add_argument("--no-analysis", action="store_true")
+    p.add_argument("--streaming-check", type=str, default="auto",
+                   choices=["auto", "force", "skip"],
+                   help="WaveFlow only: measure the chunked-synthesis "
+                        "deviation on THIS checkpoint (probe > 2*halo, "
+                        "fp32), auto-raising WAVEFLOW_AR_ROUNDS until it "
+                        "meets --streaming-tol; the result ships in "
+                        "meta.json as streaming_max_err and the export "
+                        "FAILS if unattainable.  'skip' records it as "
+                        "unmeasured (~10 min on CPU for the canonical "
+                        "64x64 model; seconds on a TPU)")
+    p.add_argument("--streaming-tol", type=float, default=5e-3,
+               help="max allowed chunked-vs-one-pass sample deviation "
+                    "(default 5e-3 ~ -46 dBFS instantaneous; the "
+                    "canonical trained 64x64 measures 4.1e-3 at "
+                    "AR_ROUNDS=4).  Utterances that fit the window are "
+                    "served exactly either way; tighten this to force "
+                    "a larger halo or use the symbolic exact export")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform to trace on (e.g. cpu)")
     args = p.parse_args()
@@ -58,13 +75,16 @@ def main():
         args.ckpt, args.out, batch=args.batch,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
         bf16=args.bf16, with_analysis=not args.no_analysis,
-        frames=args.frames)
+        frames=args.frames, streaming_check=args.streaming_check,
+        streaming_tol=args.streaming_tol)
     total = sum(os.path.getsize(os.path.join(args.out, f))
                 for f in meta["functions"].values())
     print(f"exported {meta['family']} (step {meta['step']}) -> {args.out}: "
           f"{', '.join(meta['functions'])}; {total / 1e6:.1f} MB; "
           f"platforms {meta['platforms']}; "
           f"fused_ar_kernel {meta['fused_ar_kernel']}; "
+          f"streaming {meta['streaming_equivalence']} "
+          f"(max_err {meta['streaming_max_err']}); "
           f"contract {meta['contract']}")
 
 

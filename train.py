@@ -68,12 +68,15 @@ def main():
                              "hang is detected one step late. 0 = off")
     parser.add_argument("--no-auto-resume", action="store_true",
                         help="do not auto-resume from the logdir's latest ckpt")
-    parser.add_argument("--scan-unroll", type=int, default=1,
-                        help="unroll factor for the flow-group scans: 1 "
-                             "(default) keeps one flow's internals live at "
-                             "a time (the constant-memory contract); 4 "
-                             "measured +8%% step throughput on v5e at "
-                             "+1.5 GB peak temp (flows/scan_group.py)")
+    parser.add_argument("--scan-unroll", type=str, default="auto",
+                        help="unroll factor for the flow-group scans: "
+                             "'auto' (default) picks the largest of 4/2/1 "
+                             "whose compiled step fits the chip's memory "
+                             "budget (compile-time XLA memory analysis — "
+                             "+8%% measured step throughput at 4 on the "
+                             "v5e flagship, flows/scan_group.py); an "
+                             "integer forces it (1 = strictly one flow's "
+                             "internals live at a time)")
     parser.add_argument("--bf16-compute", action="store_true",
                         help="deprecated alias: AMP (bf16 model math, fp32 "
                              "master params) is the default now; use --fp32 "
@@ -117,9 +120,9 @@ def main():
     if args.precision is None:
         args.precision = "default" if amp else "high"
     set_default_precision(args.precision)
-    if args.scan_unroll != 1:
+    if args.scan_unroll != "auto":
         from constant_memory_waveglow_tpu.flows.scan_group import set_scan_unroll
-        set_scan_unroll(args.scan_unroll)
+        set_scan_unroll(int(args.scan_unroll))
 
     config = load_config(args.config) if args.config else None
     if args.ckpt_path:
@@ -182,12 +185,30 @@ def main():
               f"axis (global batch {global_batch})")
     mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
     state = replicate(mesh, state)
+    compute_dtype = "bfloat16" if amp else None
+    microbatch = "auto" if n_data == 1 else None
+    if args.scan_unroll == "auto":
+        if n_data == 1 and n_proc == 1:
+            # compile-time memory autotune: largest flow-group unroll whose
+            # compiled step fits the chip (+8% measured at 4 on the v5e
+            # flagship); the winning compile lands in the persistent cache,
+            # so the step dispatch below reuses it
+            segment = config["dataset"]["args"]["segment"]
+            unroll, info = exp.autotune_scan_unroll(
+                state, (global_batch, segment), compute_dtype=compute_dtype,
+                microbatch=microbatch)
+            if is_main:
+                print(f"scan-unroll auto -> {unroll} ({info})")
+        elif is_main:
+            print("scan-unroll auto: multi-device run, keeping unroll 1 "
+                  "(per-device memory analysis not modeled); force with "
+                  "--scan-unroll N")
     step_fn = exp.make_train_step(
-        compute_dtype="bfloat16" if amp else None,
+        compute_dtype=compute_dtype,
         # sublane-aligned gradient accumulation only when the whole batch
         # lives on one device; a chunk slice would straddle data-axis
         # shards and force resharding collectives (Experiment docstring)
-        microbatch="auto" if n_data == 1 else None)
+        microbatch=microbatch)
 
     dataset = build_dataset(config["dataset"])
     # every process loads global_batch/n_proc examples; make_global_batch

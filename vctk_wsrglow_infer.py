@@ -43,6 +43,21 @@ def main():
                              "windowed sinc, the kazane.Decimate calibration "
                              "most NU-Wave-protocol papers report against; "
                              "reference vctk_wsrglow_infer.py:46-58)")
+    parser.add_argument("--len-bucket", type=int, default=16384,
+                        help="pad each low-rate input up to a multiple of "
+                             "this many low-rate samples before synthesis "
+                             "and trim the output back.  A real VCTK sweep "
+                             "has ~unique file lengths, and jitting the "
+                             "reverse pass per distinct length means a "
+                             "full XLA compile per FILE on a remote-"
+                             "compile runtime (docs/design.md §7); buckets "
+                             "bound the sweep at O(max_len/bucket) "
+                             "compiles.  Zero-padding the tail perturbs "
+                             "only the final reverse-receptive-field of "
+                             "the kept audio (tests/test_cli.py::"
+                             "test_wsrglow_bucket_padding_is_tail_local). "
+                             "0 = exact per-file lengths (one compile per "
+                             "length)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
 
@@ -84,23 +99,32 @@ def main():
 
     test_files = sorted(Path(args.vctk).glob("**/*.wav"))
     chunk = 8 * args.q
+    bucket = max(8, args.len_bucket // 8 * 8) if args.len_bucket else 0
     lsds = []
+    shapes = set()
     key = jax.random.PRNGKey(0)
     for i, f in enumerate(test_files):
         raw_y, sr = load_wav(str(f))
         offset = raw_y.shape[0] % chunk
         y = raw_y[:-offset] if offset else raw_y
         y_low = downsampler(jnp.asarray(y)[None])
+        if bucket:
+            low_len = y_low.shape[-1]
+            padded = -(-low_len // bucket) * bucket
+            y_low = jnp.pad(y_low, ((0, 0), (0, padded - low_len)))
         key, sub = jax.random.split(key)
-        z = args.sigma * jax.random.normal(sub, (1, y.shape[0]))
+        z = args.sigma * jax.random.normal(sub, (1, y_low.shape[-1] * args.q))
+        shapes.add(z.shape)
         y_hat, _ = reverse(params, z, y_low)
-        y_hat = np.asarray(y_hat).reshape(-1)
+        y_hat = np.asarray(y_hat).reshape(-1)[: y.shape[0]]
         if offset:
             y_hat = np.concatenate([y_hat, np.zeros(offset, np.float32)])
         val = lsd(jnp.asarray(y_hat), jnp.asarray(raw_y))
         lsds.append(val)
         print(f"[{i + 1}/{len(test_files)}] {f.name}: lsd={val:.4f}", flush=True)
 
+    print(f"distinct synthesis shapes: {len(shapes)} over "
+          f"{len(test_files)} files", flush=True)
     print(sum(lsds) / len(lsds))
 
 
