@@ -38,8 +38,17 @@ from constant_memory_waveglow_tpu.ops import set_default_precision
 set_default_precision("highest")
 arch = {arch!r}
 out = {{}}
-for flows in (2, 6):
-    temp, total = peak_temp_bytes(flows=flows, channels=64, depth=4,
+# this backend reports temp_size_in_bytes == 0 (the test then skips
+# rather than measures) once a graph's footprint crosses ~70 MB — probed
+# empirically: ch64 flows 3/4/5 report ~6 MB, flows 6/7 report 0, ch128
+# reports 0 everywhere — so the series stays below that; melglow uses a
+# narrow channel count so its O(channels^2*radix) predictor params (and
+# the params-sized stacked gradients any training step carries) stay far
+# below the activation slope under test.  The flagship-scale series in
+# bench.py reports real temps (multi-GB graphs are unaffected).
+chans = 16 if arch == "melglow" else 64
+for flows in (3, 5):
+    temp, total = peak_temp_bytes(flows=flows, channels=chans, depth=4,
                                   batch=4, segment=8192,
                                   memory_efficient=True, arch=arch)
     out[total_flows(arch, flows)] = temp

@@ -154,7 +154,10 @@ def test_tp_flagship_width_compiles_expected_collectives():
         jax.random.normal(jax.random.PRNGKey(1), (4, 2048)) * 0.1,
         batch_sharding(mesh))
     step = exp.make_train_step(donate=False)
-    txt = step.lower(state, batch).compile().as_text()
+    # the dispatcher's AOT surface: lower exactly the step it would run
+    # (the plan resolver sees the data-sharded batch and skips chunking)
+    txt = step.jit_step.lower(state, batch,
+                              step.resolve_plan(batch)).compile().as_text()
     n_ar = txt.count(" all-reduce(") + txt.count(" all-reduce-start(")
     # at least one reduction per WN row-parallel boundary (W_o x depth, end)
     # per flow, plus the data-axis gradient all-reduce

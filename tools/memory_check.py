@@ -43,14 +43,21 @@ def build_config(arch, flows, channels, depth, memory_efficient):
             "skip_channels": channels, "depth": depth, "radix": 3,
             "bias": False}}
     elif arch == "melglow":
-        # melglow_LJ_speech.json ratios: 48ch LVC at depth 7, 64x3 predictor
+        # melglow_LJ_speech.json ratios: 48ch LVC at depth 7, 64x3
+        # predictor.  predict_channels scales with the channel knob so
+        # scaled-down test configs keep params/flow small — the LVC
+        # predictor's output head is O(channels^2 * radix * predict), and
+        # params-sized per-flow buffers (the stacked gradients, present in
+        # ANY training step incl. naive) would otherwise dominate the
+        # activation slope the measurement is after
         a = {"type": "MelGlow", "args": {
             "flows": flows, "n_group": 8, "n_early_every": 10000,
             "n_early_size": 2, "hop_size": 256, "n_mels": 80,
             "memory_efficient": memory_efficient,
             "dilation_channels": channels, "residual_channels": channels,
             "skip_channels": channels, "depth": depth, "radix": 3,
-            "predict_channels": 64, "predict_layers": 3, "bias": False}}
+            "predict_channels": min(64, channels), "predict_layers": 3,
+            "bias": False}}
     elif arch == "mr_waveglow":
         # mr_waveglow_LJ_speech.json: 3-level pyramid; the swept variable is
         # the per-level flow count (total flows = flows*(levels-1)+prior)
