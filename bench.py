@@ -241,9 +241,13 @@ def bench_family_synthesis(family, batch=16, seconds=10.0, sr=22050):
         h = jax.random.normal(jax.random.PRNGKey(1), (batch, t_low)) * 0.1
         out_samples = t_low * model.upsample_rate
     else:
+        # melglow runs the scan-group reverse: the unrolled 12-flow LVC
+        # graph exceeds the remote-compile service's request-size limit
+        # (HTTP 413); scanned vs unrolled values are identical
+        # (tests/test_constant_memory_families.py)
         cls, args = ((MelGlow, _MELGLOW_ARGS) if family == "melglow"
                      else (MRWaveGlow, _MRWG_ARGS))
-        model = cls(memory_efficient=False, **args)
+        model = cls(memory_efficient=(family == "melglow"), **args)
         frames = int(seconds * sr) // 256
         h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames))
         out_samples = frames * 256
@@ -351,11 +355,14 @@ def main():
     # trainer default (AMP), batch 8 — every family, every round (VERDICT r3
     # next #3; the reference's per-model claims, README.md:64-82)
     for fam in ("melglow", "mr_waveglow", "wsrglow"):
-        try:
-            details[f"{fam}_synthesis_khz_b16"] = round(
-                bench_family_synthesis(fam), 1)
-        except Exception as e:
-            details[f"{fam}_synth_error"] = f"{type(e).__name__}: {e}"[:200]
+        for attempt in (1, 2):  # the remote-compile tunnel can drop a pipe
+            try:
+                details[f"{fam}_synthesis_khz_b16"] = round(
+                    bench_family_synthesis(fam), 1)
+                details.pop(f"{fam}_synth_error", None)
+                break
+            except Exception as e:
+                details[f"{fam}_synth_error"] = f"{type(e).__name__}: {e}"[:200]
     family_train = {
         "waveflow": dict(cfg=_train_cfg(
             "WaveFlow", dict(_WAVEFLOW_ARGS, memory_efficient=True)),

@@ -351,7 +351,22 @@ class Experiment:
             stats = None
         limit = (stats or {}).get("bytes_limit")
         if not limit:
-            return 1, {"reason": "backend reports no memory stats"}
+            # remote/tunneled runtimes return no memory_stats — fall back
+            # to the device generation's HBM size (per-chip)
+            hbm_gb = {"TPU v4": 32, "TPU v5": 95, "TPU v5p": 95,
+                      "TPU v5e": 16, "TPU v5 lite": 16,
+                      "TPU v6e": 32, "TPU v6 lite": 32}
+            kind = dev.device_kind
+            size = hbm_gb.get(kind)
+            if size is None:
+                for k in sorted(hbm_gb, key=len, reverse=True):
+                    if kind.startswith(k):
+                        size = hbm_gb[k]
+                        break
+            if size is None:
+                return 1, {"reason": f"no memory stats and unknown device "
+                                     f"kind {kind!r}"}
+            limit = size * 2**30
         budget = int(limit * budget_frac)
         batch_sds = jax.ShapeDtypeStruct(tuple(batch_shape), jnp.float32)
         prev = scan_group._SCAN_UNROLL
