@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Categorize device time in a jax.profiler chrome trace.
 
-Answers "where does the step go" at the XLA-op level: convolutions/matmuls
-(MXU) vs elementwise fusions (VPU/HBM) vs copies vs loop overhead — the
-measurement behind the design doc's MXU-floor decomposition
-(docs/design.md §6).  Works on any ``<logdir>/plugins/profile/*/
-*.trace.json.gz`` produced by ``train.py --profile-steps N``.
+Answers "where does the step go" at the XLA-op level — convolutions (MXU)
+vs elementwise fusions (VPU/HBM) vs copies — including each category's
+HBM bytes_accessed and achieved bandwidth, the measurement behind the
+design doc's MXU-floor decomposition (docs/design.md §6).  Uses the
+``hlo_category`` / ``bytes_accessed`` annotations the TPU profiler attaches
+to device op events (host-side events carry neither and are excluded).
 
 Usage:
-  python tools/trace_breakdown.py <logdir-or-trace.json.gz> [--top 15]
+  python tools/trace_breakdown.py <logdir-or-trace.json.gz>
+      [--top 15] [--hbm-gbps 819]
 """
 
 from __future__ import annotations
@@ -21,15 +23,6 @@ import json
 import os
 import re
 
-CATEGORIES = [
-    ("conv/matmul", re.compile(r"^(%?)(convolution|dot|cudnn|conv)", re.I)),
-    ("while-loop", re.compile(r"^(%?)while", re.I)),
-    ("copy/transpose", re.compile(r"^(%?)(copy|transpose|bitcast)", re.I)),
-    ("dynamic-slice", re.compile(r"^(%?)dynamic", re.I)),
-    ("reduce", re.compile(r"^(%?)(reduce|all-reduce)", re.I)),
-    ("elementwise-fusion", re.compile(r"^(%?)(fusion|loop_fusion|input_fusion)", re.I)),
-]
-
 
 def find_trace(path):
     if os.path.isfile(path):
@@ -41,73 +34,58 @@ def find_trace(path):
     return hits[-1]
 
 
-def load_events(trace_path):
-    with gzip.open(trace_path, "rt") as f:
-        data = json.load(f)
-    return data.get("traceEvents", [])
-
-
-def device_lanes(events):
-    """pid/tid lanes that look like accelerator op streams (XLA op names)."""
-    lanes = set()
-    names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") in ("process_name",
-                                                    "thread_name"):
-            key = (e.get("pid"), e.get("tid"), e["name"])
-            names[key] = e.get("args", {}).get("name", "")
-    for (pid, tid, kind), n in names.items():
-        ln = n.lower()
-        if kind == "process_name" and ("tpu" in ln or "device" in ln
-                                       or "/device" in ln or "xla" in ln):
-            lanes.add(pid)
-    return lanes, names
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("path")
     p.add_argument("--top", type=int, default=15)
+    p.add_argument("--hbm-gbps", type=float, default=819.0,
+                   help="HBM bandwidth for the traffic-floor column "
+                        "(v5e: 819 GB/s)")
     args = p.parse_args()
 
     trace = find_trace(args.path)
-    events = load_events(trace)
-    lanes, _ = device_lanes(events)
+    with gzip.open(trace, "rt") as f:
+        events = json.load(f)["traceEvents"]
 
     cat_us = collections.Counter()
+    cat_bytes = collections.Counter()
     op_us = collections.Counter()
+    op_bytes = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if lanes and e.get("pid") not in lanes:
-            continue
-        name = e.get("name", "")
-        # skip derived/step lanes
-        if name.startswith(("$", "Steps", "step")):
+        a = e.get("args") or {}
+        cat = a.get("hlo_category")
+        if not cat:  # host-side / umbrella event
             continue
         dur = float(e["dur"])
+        nbytes = int(a.get("bytes_accessed", 0) or 0)
         total += dur
-        op_us[name] += dur
-        for cat, rx in CATEGORIES:
-            if rx.match(name):
-                cat_us[cat] += dur
-                break
-        else:
-            cat_us["other"] += dur
+        cat_us[cat] += dur
+        cat_bytes[cat] += nbytes
+        key = re.sub(r"[.\d]+$", "", e.get("name", "?")) or "?"
+        op_us[f"{cat} :: {key}"] += dur
+        op_bytes[f"{cat} :: {key}"] += nbytes
 
     if total == 0:
-        raise SystemExit("no device op events found (wrong lane filter?); "
-                         "pass the .trace.json.gz directly and check names")
+        raise SystemExit("no hlo_category-annotated device events found")
+    bw = args.hbm_gbps * 1e9
     print(f"trace: {trace}")
-    print(f"total device-op time: {total / 1e3:.2f} ms (all events in "
-          f"device lanes; overlapping ops double-count)")
-    print("\nby category:")
+    print(f"total device-op time: {total / 1e3:.2f} ms")
+    print(f"\nby hlo_category (floor = bytes_accessed / {args.hbm_gbps:.0f}"
+          f" GB/s; achieved column is that traffic's realized bandwidth):")
     for cat, us in cat_us.most_common():
-        print(f"  {cat:>20}: {us / 1e3:9.2f} ms  ({us / total * 100:5.1f}%)")
-    print(f"\ntop {args.top} ops:")
+        gb = cat_bytes[cat] / 1e9
+        floor_ms = cat_bytes[cat] / bw * 1e3
+        ach = (cat_bytes[cat] / (us / 1e6)) / 1e9 if us else 0.0
+        print(f"  {cat:>24}: {us / 1e3:9.2f} ms ({us / total * 100:5.1f}%)"
+              f"  {gb:8.2f} GB  floor {floor_ms:8.2f} ms"
+              f"  achieved {ach:6.0f} GB/s")
+    print(f"\ntop {args.top} op groups:")
     for name, us in op_us.most_common(args.top):
-        print(f"  {us / 1e3:9.2f} ms  {name[:100]}")
+        gb = op_bytes[name] / 1e9
+        print(f"  {us / 1e3:9.2f} ms  {gb:7.2f} GB  {name[:80]}")
 
 
 if __name__ == "__main__":

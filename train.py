@@ -243,6 +243,9 @@ def main():
         print(f"resuming at epoch {start_epoch} (step {step})")
     t0 = time.time()
     profiling = False
+    # profile a window shortly after (re)start — relative to the CURRENT
+    # step so --profile-steps works on resumed runs too
+    profile_at = step + 2
     watchdog = None
     if args.hang_timeout:
         from constant_memory_waveglow_tpu.utils.watchdog import HangWatchdog
@@ -275,13 +278,13 @@ def main():
     try:
       for epoch in range(start_epoch, args.max_epochs):
         for batch in loader.epoch(epoch):
-            if args.profile_steps and step == 2 and not profiling:
+            if args.profile_steps and step == profile_at and not profiling:
                 jax.profiler.start_trace(os.path.join(logdir, "profile"))
                 profiling = True
             batch = make_global_batch(mesh, batch)
             state, metrics = step_fn(state, batch)
             step += 1
-            if profiling and step >= 2 + args.profile_steps:
+            if profiling and step >= profile_at + args.profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
