@@ -139,7 +139,12 @@ def bench_synthesis(batch=16, seconds=10.0, sr=22050, hop=256,
     frames = int(seconds * sr) // hop
     h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames), dtype)
 
-    infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 0.7))
+    # params ride as runtime args, NOT a closure: closed-over trees bake
+    # into the lowered module as constants and the HLO upload blows past
+    # the remote-compile request-size limit at family scale (HTTP 413)
+    params = jax.device_put(params)
+    jfn = jax.jit(lambda p, h: model.infer(p, h, jax.random.PRNGKey(2), 0.7))
+    infer = lambda h: jfn(params, h)
     dt = _time_chained_calls(infer, h)
     return batch * frames * hop / dt / 1000.0  # kHz
 
@@ -219,7 +224,9 @@ def bench_waveflow_synthesis(batch=16, seconds=10.0, sr=22050, hop=256):
     params = fuse_weight_norms(model.init(jax.random.PRNGKey(0)))
     frames = int(seconds * sr) // hop
     h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames))
-    infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 1.0))
+    params = jax.device_put(params)  # runtime args, not baked constants
+    jfn = jax.jit(lambda p, h: model.infer(p, h, jax.random.PRNGKey(2), 1.0))
+    infer = lambda h: jfn(params, h)
     dt = _time_chained_calls(infer, h, n=3)
     return batch * frames * hop / dt / 1000.0
 
@@ -251,8 +258,10 @@ def bench_family_synthesis(family, batch=16, seconds=10.0, sr=22050):
         frames = int(seconds * sr) // 256
         h = jax.random.normal(jax.random.PRNGKey(1), (batch, 80, frames))
         out_samples = frames * 256
-    params = fuse_weight_norms(model.init(key))
-    infer = jax.jit(lambda h: model.infer(params, h, jax.random.PRNGKey(2), 0.7))
+    params = jax.device_put(fuse_weight_norms(model.init(key)))
+    # runtime args, not baked constants (see bench_synthesis note)
+    jfn = jax.jit(lambda p, h: model.infer(p, h, jax.random.PRNGKey(2), 0.7))
+    infer = lambda h: jfn(params, h)
     dt = _time_chained_calls(infer, h, n=3)
     return batch * out_samples / dt / 1000.0
 
