@@ -179,33 +179,39 @@ def bench_train_step(batch=8, segment=16000, precision="high", sr=22050,
     state = exp.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, segment)) * 0.1
 
+    from constant_memory_waveglow_tpu.flows import scan_group
+
     chosen_unroll = None
-    if autotune_unroll:  # the shipped train.py default (--scan-unroll auto)
-        chosen_unroll, _ = exp.autotune_scan_unroll(
-            state, (batch, segment), compute_dtype=compute_dtype,
-            donate=False)
-    step = exp.make_train_step(donate=False, compute_dtype=compute_dtype)
+    prev_unroll = scan_group._SCAN_UNROLL
+    try:
+        if autotune_unroll:  # the shipped train.py default (--scan-unroll auto)
+            chosen_unroll, _ = exp.autotune_scan_unroll(
+                state, (batch, segment), compute_dtype=compute_dtype,
+                donate=False)
+        step = exp.make_train_step(donate=False, compute_dtype=compute_dtype)
 
-    def chained(s, b):
-        new_state, m = step(s, b)
-        # fingerprint every updated leaf so nothing is dead-code-eliminated
-        fp = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(new_state["params"]))
-        return new_state, jnp.stack([m["loss"], fp])
+        def chained(s, b):
+            new_state, m = step(s, b)
+            # fingerprint every updated leaf so nothing is dead-code-eliminated
+            fp = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(new_state["params"]))
+            return new_state, jnp.stack([m["loss"], fp])
 
-    chained = jax.jit(chained)
-    flops = None
-    if with_flops:
-        try:
-            cost = chained.lower(state, x).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0)) or None
-        except Exception:
-            flops = None
-    dt = _time_chained_steps(chained, state, x, n=n)
-    if autotune_unroll:
-        from constant_memory_waveglow_tpu.flows import scan_group
-        scan_group.set_scan_unroll(1)  # don't leak into later entries
+        chained = jax.jit(chained)
+        flops = None
+        if with_flops:
+            try:
+                cost = chained.lower(state, x).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0)) or None
+            except Exception:
+                flops = None
+        dt = _time_chained_steps(chained, state, x, n=n)
+    finally:
+        # a compile/timing failure mid-run must not leak the autotuned
+        # unroll into every later bench entry (they'd be silently measured
+        # at the wrong unroll and mislabeled in BENCH output)
+        scan_group.set_scan_unroll(prev_unroll)
     tflops = flops / dt / 1e12 if flops else None
     return batch * segment / sr / dt, tflops, chosen_unroll
 

@@ -56,10 +56,33 @@ from .invconv import _inv, _logabsdet, _mix
 _SCAN_UNROLL = 1
 
 
+def get_scan_unroll() -> int:
+    return _SCAN_UNROLL
+
+
 def set_scan_unroll(n: int):
     """Set the flow-group scan unroll factor (takes effect at next trace)."""
     global _SCAN_UNROLL
     _SCAN_UNROLL = int(n)
+
+
+# Hybrid remat knob (VERDICT r4 next #4): when False, flow scans that use
+# plain rematerialization (WaveFlow's jax.checkpoint'ed body) store the
+# body intermediates instead — deleting the backward's re-forward (one of
+# three WN passes) at O(flows) activation memory.  Autotuned per run by
+# ``Experiment.autotune_scan_unroll`` (the memory-budget philosophy): the
+# no-remat step is tried first and kept only when XLA's buffer assignment
+# fits the chip.  The module default True is the constant-memory contract.
+_FLOW_REMAT = True
+
+
+def get_flow_remat() -> bool:
+    return _FLOW_REMAT
+
+
+def set_flow_remat(on: bool):
+    global _FLOW_REMAT
+    _FLOW_REMAT = bool(on)
 
 
 def _dot(a, b, dims):

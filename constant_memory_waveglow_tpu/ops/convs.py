@@ -116,9 +116,28 @@ class conv1x1_impl:
         _CONV1X1_IMPL = self._prev
 
 
+# Above this weight size (Cout*Cin elements) the pointwise conv uses the
+# dot form even inside training traces.  The 'conv' preference was measured
+# on flagship-scale projections (V: 80->4096, W_o: 256->512); at WSRGlow's
+# conditioner scale (V: 3659->4096, ~15M weights x 12 flows = 719 MB of
+# params) the conv emitter stores the kernel in a {1,3,2,0:T(1,128)} layout
+# that every OTHER consumer (Adam update at 66 GB/s, per-flow dcond GEMMs,
+# bf16 casts) must relayout-copy around — traced at 64 ms/step device time
+# of which ~2/3 was V-layout fallout (round-5 trace, docs/design.md §7).
+# The dot form keeps the weight in the natural (8,128)-tiled GEMM layout.
+_CONV1X1_DOT_MIN_WEIGHT = 2 ** 21
+
+
 def conv1x1(x, w, *, precision=None):
     """Pointwise conv.  x: [B, Cin, T], w: [Cout, Cin] -> [B, Cout, T]."""
-    if _CONV1X1_IMPL == "conv":
+    if w.shape[0] * w.shape[1] >= _CONV1X1_DOT_MIN_WEIGHT:
+        # materialize a computed weight (weight-norm chain, bf16 cast)
+        # before the GEMM: fused weight-producing chains make the emitter
+        # recompute the weight per output tile — the WSRGlow V GEMMs
+        # traced at ~5% MFU without this
+        w = lax.optimization_barrier(w)
+    if (_CONV1X1_IMPL == "conv"
+            and w.shape[0] * w.shape[1] < _CONV1X1_DOT_MIN_WEIGHT):
         if w.ndim == 2:
             w = w[:, :, None]
         return lax.conv_general_dilated(

@@ -47,6 +47,40 @@ def wn_weight(p):
     return p
 
 
+def resolve_large_weight_norms(params, min_elems=2 ** 21):
+    """Pre-resolve {'v','g'} -> {'w'} for params with >= ``min_elems``
+    weight elements, as *traced ops* inside the step.
+
+    For giant weight-normed projections (WSRGlow's conditioner V:
+    4096x3659 per flow, ~720 MB of master params) the per-pass norm
+    recomputation is pathological: the forward, the custom_vjp backward's
+    re-forward, and the gradient pass each re-normalize, and on TPU each
+    recomputation forced a 240 MB/group layout round-trip into the reduce's
+    preferred T(1,128) tiling (traced at ~8 ms/step of pure copies,
+    round-5).  Resolving once per step makes the resolved weight an
+    ordinary intermediate: the custom_vjp saves it with its other residuals
+    instead of recomputing, and gradients to (v, g) flow through the
+    resolution chain automatically.
+
+    Size-gated because the resolved weights become params-sized *temp*
+    buffers: for ordinary WN stacks (flagship V is 4096x80) the temp cost
+    would show up in the peak-temp-by-flows constant-memory series for no
+    measurable win, so only genuinely large projections are resolved.
+    """
+
+    def rec(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"v", "g"} and node["v"].size >= min_elems:
+                return {"w": wn_weight(node)}
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(rec(v) for v in node)
+        return node
+
+    return rec(params)
+
+
 def fuse_weight_norms(params):
     """Replace every {'v','g'} leaf-dict with the fused {'w'} form.
 

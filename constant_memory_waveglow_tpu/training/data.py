@@ -29,8 +29,19 @@ DATASET_REGISTRY = Registry("dataset")
 
 @DATASET_REGISTRY.register("RandomWAVDataset")
 class RandomWAVDataset:
+    """Virtual dataset of random fixed-length crops (SURVEY §2.2 row 19).
+
+    ``augment=True`` adds on-the-fly augmentation to stretch tiny corpora
+    (this environment ships 3 LJ utterances — see samples/README.md): per
+    segment a random gain (±``gain_db`` dB), random polarity, and a random
+    tempo/pitch warp (resampling by a factor in [1−warp, 1+warp], which for
+    speech acts as combined pitch+tempo variation).  Augmentation is applied
+    identically on the native and pure-python decode paths and is
+    deterministic per example index in deterministic mode.
+    """
+
     def __init__(self, data_dir, size, segment, deterministic=False,
-                 use_native=True):
+                 use_native=True, augment=False, gain_db=4.0, warp=0.10):
         data_dir = os.path.expanduser(data_dir)
         self.files = sorted(
             glob.glob(os.path.join(data_dir, "**", "*.wav"), recursive=True)
@@ -41,6 +52,13 @@ class RandomWAVDataset:
         self.segment = segment
         self.deterministic = deterministic
         self.use_native = use_native and native_loader.available()
+        self.augment = bool(augment)
+        self.gain_db = float(gain_db)
+        self.warp = float(warp)
+        # decode enough extra samples that a slowed-down (factor > 1) warp
+        # still fills `segment` output samples from real audio
+        self._decode_len = (int(np.ceil(segment * (1 + self.warp))) + 1
+                            if self.augment else segment)
         self._lengths = {}
 
     def __len__(self):
@@ -60,27 +78,50 @@ class RandomWAVDataset:
     def sample_batch(self, rng: np.random.Generator, batch_size, base_index=0):
         """Decode a whole [batch_size, segment] batch, in native threads when
         the C++ loader is available."""
-        picks = []
+        picks, rngs = [], []
         for j in range(batch_size):
             r = (np.random.default_rng(base_index + j)
                  if self.deterministic else rng)
             path = self.files[int(r.integers(len(self.files)))]
             n = self._file_len(path)
-            start = 0 if n <= self.segment else int(r.integers(n - self.segment))
+            d = self._decode_len
+            start = 0 if n <= d else int(r.integers(n - d))
             picks.append((path, start))
+            rngs.append(r)
+        out = None
         if self.use_native:
             out = native_loader.fill_batch(
-                [p for p, _ in picks], [s for _, s in picks], self.segment)
-            if out is not None:
-                return out
-        return np.stack([self._crop(p, s) for p, s in picks])
+                [p for p, _ in picks], [s for _, s in picks], self._decode_len)
+        if out is None:
+            out = np.stack([self._crop(p, s) for p, s in picks])
+        if not self.augment:
+            return out
+        return np.stack([self._augment_one(rngs[j], out[j])
+                         for j in range(batch_size)])
+
+    def _augment_one(self, rng, x):
+        """Gain / polarity / resample-warp one decoded [decode_len] segment
+        down to [segment].  In deterministic mode ``rng`` is the per-example
+        generator already advanced past the crop draws, so the augmentation
+        is a pure function of the example index too."""
+        seg = self.segment
+        factor = float(rng.uniform(1.0 - self.warp, 1.0 + self.warp))
+        src_len = min(len(x), max(2, int(round(seg * factor))))
+        t = np.linspace(0.0, src_len - 1.0, seg)
+        y = np.interp(t, np.arange(src_len, dtype=np.float64),
+                      x[:src_len].astype(np.float64))
+        gain = 10.0 ** (rng.uniform(-self.gain_db, self.gain_db) / 20.0)
+        sign = -1.0 if rng.uniform() < 0.5 else 1.0
+        y = np.clip(y * (gain * sign), -1.0, 1.0)
+        return y.astype(np.float32)
 
     def _crop(self, path, start):
         n = self._file_len(path)
-        if n <= self.segment:
+        d = self._decode_len
+        if n <= d:
             x, _ = crop_wav(path, 0, n)
-            return np.pad(x, (0, self.segment - len(x)))
-        x, _ = crop_wav(path, start, self.segment)
+            return np.pad(x, (0, d - len(x)))
+        x, _ = crop_wav(path, start, d)
         return x
 
     def sample(self, rng: np.random.Generator, index=None):
@@ -89,12 +130,12 @@ class RandomWAVDataset:
             rng = np.random.default_rng(index)
         path = self.files[int(rng.integers(len(self.files)))]
         n = self._file_len(path)
-        if n <= self.segment:
-            x, _ = crop_wav(path, 0, n)
-            return np.pad(x, (0, self.segment - len(x)))
-        start = int(rng.integers(n - self.segment))
-        x, _ = crop_wav(path, start, self.segment)
-        return x
+        d = self._decode_len
+        start = 0 if n <= d else int(rng.integers(n - d))
+        x = self._crop(path, start)
+        if self.augment:
+            return self._augment_one(rng, x)
+        return x[:self.segment]
 
     def __getitem__(self, index):
         return self.sample(np.random.default_rng(), index)

@@ -180,7 +180,13 @@ class Experiment:
         from ..ops.convs import conv1x1_impl
 
         def loss_fn(params, model_state, batch):
+            from ..ops.weightnorm import resolve_large_weight_norms
+
             cond = conditioner(batch)
+            # giant weight-normed projections resolve ONCE per step (in
+            # fp32, before the AMP cast) instead of once per fwd/re-fwd/bwd
+            # pass — see resolve_large_weight_norms
+            params = resolve_large_weight_norms(params)
             if compute_dtype is not None:
                 cast = lambda t: jax.tree_util.tree_map(
                     lambda a: a.astype(compute_dtype)
@@ -382,15 +388,20 @@ class Experiment:
                                                plan).compile()
                 mem = compiled.memory_analysis()
             except Exception as e:
-                scan_group.set_scan_unroll(prev)
+                # docstring contract: the active global matches the return
+                scan_group.set_scan_unroll(1)
                 return 1, {"reason": f"compile failed at unroll {u}: {e}"}
             if mem is None:
-                scan_group.set_scan_unroll(prev)
+                scan_group.set_scan_unroll(1)
                 return 1, {"reason": "backend reports no memory analysis"}
             total = getattr(mem, "peak_memory_in_bytes", None) or (
                 (getattr(mem, "argument_size_in_bytes", 0) or 0)
                 + (getattr(mem, "output_size_in_bytes", 0) or 0)
-                + (getattr(mem, "temp_size_in_bytes", 0) or 0))
+                + (getattr(mem, "temp_size_in_bytes", 0) or 0)
+                # donated buffers appear in both arguments and outputs —
+                # without this the fallback overshoots by ~a model-state
+                # size and can spuriously reject unroll 4/2
+                - (getattr(mem, "alias_size_in_bytes", 0) or 0))
             info["tried"][u] = round(total / 2**20, 1)
             if total <= budget or u == candidates[-1]:
                 info["peak_mb"] = round(total / 2**20, 1)

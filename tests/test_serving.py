@@ -298,8 +298,8 @@ def test_waveflow_export_measures_streaming_bound(tmp_path):
     assert meta["streaming_equivalence"] == "measured"
     assert meta["streaming_max_err"] is not None
     assert 0 <= meta["streaming_max_err"] <= 1e-4
-    assert meta["streaming_ar_rounds"] >= 2
-    assert str(meta["streaming_ar_rounds"]) or True
+    assert isinstance(meta["streaming_ar_rounds"], int)
+    assert 2 <= meta["streaming_ar_rounds"] <= 4
     tried = meta["streaming_check"]["tried"]
     assert str(meta["streaming_ar_rounds"]) in {str(k) for k in tried}
 

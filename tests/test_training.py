@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as tu
 import numpy as np
+import optax
 import pytest
 import torch
 
@@ -295,7 +296,7 @@ def test_auto_microbatch_skips_sharded_batches():
         _, m2 = step(replicate(mesh, state), jnp.asarray(x))  # replicated
         assert probed == [(16, 8)]  # single-logical-device batch: chunked
     finally:
-        Experiment.microbatch_plan = orig
+        Experiment.microbatch_plan = staticmethod(orig)
     assert np.isfinite(float(m["loss"])) and np.isfinite(float(m2["loss"]))
 
 
@@ -452,3 +453,118 @@ def test_forced_microbatch_plan_validation():
     single = exp.make_train_step(donate=False, microbatch=(6,))
     with pytest.raises(ValueError, match="does not cover"):
         single(state, x)
+
+
+def test_torch_named_optimizers_match_torch():
+    """The reference accepts ANY ``torch.optim.*`` class name by reflection
+    (``/root/reference/model/lightning.py:41-44``); the registry's additions
+    (RMSprop / Adagrad / Adamax) are differentially tested against torch on
+    an identical gradient sequence (VERDICT r4 next #7)."""
+    from constant_memory_waveglow_tpu.training.optim import build_optimizer
+
+    cases = [
+        ("RMSprop", {"lr": 1e-2, "alpha": 0.9, "eps": 1e-8,
+                     "momentum": 0.5, "centered": True}),
+        ("RMSprop", {"lr": 1e-2}),
+        ("Adagrad", {"lr": 1e-2, "lr_decay": 1e-3}),
+        ("Adamax", {"lr": 2e-3, "betas": (0.9, 0.99)}),
+    ]
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(6).astype(np.float32)
+    grads = [rng.standard_normal(6).astype(np.float32) for _ in range(5)]
+    for name, args in cases:
+        opt = build_optimizer({"type": name, "args": args})
+        params = {"w": jnp.asarray(w0)}
+        st = opt.init(params)
+        for g in grads:
+            up, st = opt.update({"w": jnp.asarray(g)}, st, params)
+            params = optax.apply_updates(params, up)
+
+        wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        targs = dict(args)
+        topt = getattr(torch.optim, name)([wt], **targs)
+        for g in grads:
+            wt.grad = torch.from_numpy(g.copy())
+            topt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   wt.detach().numpy(), rtol=2e-4, atol=2e-6)
+
+
+def test_lambda_lr_and_linear_lr_schedules():
+    """LambdaLR carries its lr_lambda as config text (the JSON analog of the
+    reference's callable); LinearLR/ConstantLR follow torch's warmup forms."""
+    from constant_memory_waveglow_tpu.training.optim import build_lr_schedule
+
+    sched = build_lr_schedule(1e-3, {"type": "LambdaLR", "args": {
+        "lr_lambda": "0.5 ** (step // 2)"}})
+    for s, want in [(0, 1e-3), (1, 1e-3), (2, 5e-4), (4, 2.5e-4)]:
+        assert abs(float(sched(s)) - want) < 1e-12, s
+
+    sched = build_lr_schedule(1.0, {"type": "LinearLR", "args": {
+        "start_factor": 0.25, "total_iters": 4}})
+    np.testing.assert_allclose([float(sched(s)) for s in range(6)],
+                               [0.25, 0.4375, 0.625, 0.8125, 1.0, 1.0],
+                               rtol=1e-6)
+
+    sched = build_lr_schedule(2.0, {"type": "ConstantLR", "args": {
+        "factor": 0.5, "total_iters": 3}})
+    assert float(sched(0)) == 1.0 and float(sched(3)) == 2.0
+
+    sched = build_lr_schedule(1.0, {"type": "MultiplicativeLR", "args": {
+        "lr_lambda": "0.9"}})
+    assert abs(float(sched(3)) - 0.9 ** 3) < 1e-9
+
+    with pytest.raises(ValueError, match="step-independent"):
+        build_lr_schedule(1.0, {"type": "MultiplicativeLR", "args": {
+            "lr_lambda": "1.0 / (step + 1)"}})
+
+
+def test_config_with_rmsprop_trains():
+    """A config naming RMSprop + LambdaLR (valid against the reference's
+    reflection contract) builds and trains a few steps with finite loss."""
+    cfg = dict(TINY_CONFIG,
+               optimizer={"type": "RMSprop", "args": {"lr": 1e-5}},
+               lr_scheduler={"type": "LambdaLR",
+                             "args": {"lr_lambda": "0.99 ** step"}})
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    step = exp.make_train_step(donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+    for _ in range(3):
+        state, metrics = step(state, x)
+    assert np.isfinite(float(metrics["loss"]))
+
+    with pytest.raises(KeyError, match="known"):
+        Experiment(dict(TINY_CONFIG,
+                        optimizer={"type": "LBFGS", "args": {"lr": 1.0}}))
+
+
+def test_dataset_augmentation(wav_dir):
+    """augment=True (corpus-stretching for the 3-utterance environment):
+    segments keep shape/range, differ from the unaugmented crop, are
+    deterministic per example index in deterministic mode, and agree
+    between the batch and single-item decode paths."""
+    from constant_memory_waveglow_tpu.training.data import build_dataset
+
+    kw = {"data_dir": wav_dir, "size": 16, "segment": 4096,
+          "deterministic": True}
+    ds_plain = build_dataset({"type": "RandomWAVDataset", "args": kw})
+    ds_aug = build_dataset({"type": "RandomWAVDataset",
+                            "args": dict(kw, augment=True)})
+    a1 = ds_aug.sample_batch(np.random.default_rng(0), 4, base_index=8)
+    a2 = ds_aug.sample_batch(np.random.default_rng(9), 4, base_index=8)
+    p = ds_plain.sample_batch(np.random.default_rng(0), 4, base_index=8)
+    assert a1.shape == p.shape == (4, 4096) and a1.dtype == np.float32
+    np.testing.assert_array_equal(a1, a2)  # deterministic per index
+    assert np.abs(a1).max() <= 1.0
+    assert np.abs(a1 - p).max() > 1e-4  # actually augmented
+    # batch path == per-item path (both augmented, same index)
+    one = ds_aug.sample(np.random.default_rng(0), 8)
+    np.testing.assert_allclose(one, a1[0], atol=1e-6)
+    # nondeterministic mode varies across draws
+    ds_nd = build_dataset({"type": "RandomWAVDataset",
+                           "args": dict(kw, augment=True,
+                                        deterministic=False)})
+    b1 = ds_nd.sample_batch(np.random.default_rng(1), 2)
+    b2 = ds_nd.sample_batch(np.random.default_rng(2), 2)
+    assert np.abs(b1 - b2).max() > 1e-4
