@@ -124,7 +124,26 @@ class Predictor:
             h = _apply_grouped_1x1(bp["conv2"], h, self.groups)
             h = jnp.tanh(_bn_apply(bp["bn2"], bs["bn2"], h, train))
             x = h + x
-        return _apply_grouped_1x1(params["end"], x, self.groups)
+        # final kernel projection: one einsum PER flow-depth group, each
+        # emitting a frame-major [B, F, out_pg] tensor.  A single stacked
+        # output tensor (~930 MB/flow of predicted kernels at the shipped
+        # config) forced the backward to concatenate+relayout the per-layer
+        # kernel gradients into one monster tensor (round-5 trace:
+        # ~12 ms/step of 266 MB copies); per-layer outputs keep each
+        # gradient inside its own GEMM
+        b, _, t = x.shape
+        g = self.groups
+        w = params["end"]["w"][..., 0]
+        c_out, c_in = w.shape[0] // g, w.shape[1]
+        wg = w.reshape(g, c_out, c_in)
+        xg = x.reshape(b, g, c_in, t)
+        outs = []
+        for i in range(g):
+            y = jnp.einsum("oi,bit->bto", wg[i], xg[:, i])
+            if "b" in params["end"]:
+                y = y + params["end"]["b"].reshape(g, c_out)[i][None, None]
+            outs.append(y)
+        return outs  # list of g x [B, F, out_pg]
 
     def new_state(self, params, state, x):
         """Running-stat update pass (torch BN side-effect, done explicitly)."""
@@ -194,20 +213,32 @@ class WN_LVC:
         """x: [B, res, T], w: [B, steps, 2*dil, res, radix] -> [B, 2*dil, T].
 
         The unfold+grouped-conv trick (``model/melglow.py:80-86``) as
-        ``radix`` batched GEMMs over (batch, frame) windows."""
+        ``radix`` batched GEMMs over (batch, frame) windows.
+
+        Windows are built from ``ceil(L/offset)`` shifted strided reshapes
+        (slice + reshape + concat), NOT an index gather: the gather's
+        transpose is a scatter-add which the round-5 trace measured at
+        ~97 GB/s (~13 ms/step over the 7 layers); slice transposes are
+        pad+add at full bandwidth.  Equivalence: window s covers padded
+        positions [s*offset, s*offset + L), and part_j[s, q] =
+        xp[s*offset + j*offset + q] tiles exactly that range."""
         b, r, t = x.shape
         steps = w.shape[1]
         offset = t // steps
         pad = dilation * (self.radix - 1) // 2
-        xp = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)])
-        # window gather: [steps, offset + 2*pad]; jnp.arange so `steps` may be
-        # a symbolic dim (jax.export) — constant-folded when shapes are static
-        idx = jnp.arange(steps)[:, None] * offset + jnp.arange(offset + 2 * pad)[None, :]
-        win = xp[:, :, idx]  # [B, res, steps, offset + 2*pad]
-        win = win.transpose(0, 2, 1, 3)  # [B, steps, res, win]
+        L = offset + 2 * pad  # window length
+        n_parts = -(-L // offset)  # ceil
+        # pad so every shifted slice [j*offset, j*offset + t) exists
+        tail = (n_parts - 1) * offset - 2 * pad
+        xp = jnp.pad(x, [(0, 0), (0, 0), (pad, pad + max(tail, 0))])
+        parts = [
+            xp[:, :, j * offset : j * offset + t].reshape(b, r, steps, offset)
+            for j in range(n_parts)
+        ]
+        win = jnp.concatenate(parts, axis=-1)[..., :L]  # [B, res, steps, L]
         z = 0.0
         for k in range(self.radix):
-            z = z + jnp.einsum("bsor,bsrt->bsot", w[..., k],
+            z = z + jnp.einsum("bsor,brst->bsot", w[..., k],
                                win[..., k * dilation : k * dilation + offset])
         # [B, steps, 2*dil, offset] -> [B, 2*dil, T]
         return z.transpose(0, 2, 1, 3).reshape(b, -1, t)
@@ -215,14 +246,13 @@ class WN_LVC:
     def apply(self, variables, x, y):
         params, bn_state = variables["p"], variables["s"]
         x = _apply_conv1x1(params["start"], x)
+        # list of depth x [B, F, out_pg] frame-major kernel tensors
         weights = self.pred.apply(params["pred"], bn_state, y, self.train)
-        b, _, steps = weights.shape
-        # [B, depth*out_pg, F] -> per layer [B, F, 2*dil, res, radix]
-        weights = weights.reshape(b, self.depth, -1, steps)
+        b, steps = weights[0].shape[0], weights[0].shape[1]
 
         cum_skip = 0.0
         for i, (lp, d) in enumerate(zip(params["layers"], self.dilations)):
-            w = weights[:, i].transpose(0, 2, 1).reshape(
+            w = weights[i].reshape(
                 b, steps, 2 * self.dil, self.res, self.radix)
             z = self._lvc_layer(x, w, d)
             zw, zv = jnp.split(z, 2, axis=1)
