@@ -32,12 +32,27 @@ on the canonical trained 64x64 checkpoint (fp32, 'highest' precision):
 max deviation 0.052 at rounds 2 -> 0.0098 at 3 -> 0.0041 at 4 (~4-5x decay
 per round) — NOT the <=1e-5 a toy model suggests
 (``tests/test_streaming.py::test_waveflow_streaming_error_decays`` shows
-the decay law; the magnitude scales with trained coupling heat).  Under
-bf16 ('default') matmul precision the AR inverse is numerically CHAOTIC
-and chunked output diverges entirely (measured ~38 on the same probe) —
-chunk WaveFlow only at 'highest'.  Utterances served in one window are
-exact regardless.  Reference anchor: the arbitrary-length synthesis
-claim, ``inference.py:50-57``.
+the decay law; the magnitude scales with trained coupling heat).
+
+**Why bf16 ('default') cannot be stabilized for chunked WaveFlow** —
+measured on the trained 64x64 checkpoint (v5e, round 5): the round-4
+"chunked bf16 deviation ~38" is NOT a chunking artifact.  A whole-utterance
+ONE-PASS inverse at 'default' already deviates from the 'highest' inverse
+by max 37.9 / rms 2.8 against an output rms of 3.9 — i.e. bf16 matmul
+rounding alone fully decorrelates the AR trajectory.  The sensitivity is
+*distributed*, not carried: a single injected perturbation amplifies only
+~3-15x end-to-end (measured at deltas 1e-6..1e-3), but bf16 rounds every
+conv output in the recursion at ~3e-3 relative — thousands of injection
+points x modest gains compound to O(signal) over 63 rows x 8 flows.  A
+mixed-precision scheme (fp32 carry/coupling, bf16 convs — VERDICT r4 next
+#5) leaves exactly those injection points in place and was therefore not
+pursued: the only numerically reproducible chunked WaveFlow is 'highest'
+(fp32 matmuls).  Note the bf16 one-pass output is still a *valid-sounding*
+flow sample (the z -> x map stays bounded); it is just not the same sample
+— so single-window bf16 serving remains available, while chunked serving
+pins 'highest'.  Utterances served in one window are exact regardless.
+Reference anchor: the arbitrary-length synthesis claim,
+``inference.py:50-57``.
 """
 
 from __future__ import annotations
