@@ -572,3 +572,38 @@ def test_dataset_augmentation(wav_dir):
     b1 = ds_nd.sample_batch(np.random.default_rng(1), 2)
     b2 = ds_nd.sample_batch(np.random.default_rng(2), 2)
     assert np.abs(b1 - b2).max() > 1e-4
+
+
+def test_resolve_large_weight_norms_grad_equivalence():
+    """Pre-resolving {'v','g'} -> {'w'} inside the loss (round-5 WSRGlow
+    V-projection optimization) is a pure refactor of the same math: loss
+    and (v, g) gradients match the unresolved path.  The size gate is
+    lowered so the tiny test model's weights qualify."""
+    from constant_memory_waveglow_tpu.ops import weightnorm as wnorm
+
+    exp = Experiment(TINY_CONFIG)
+    state = exp.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+
+    def loss(params, resolve):
+        cond = exp.conditioner(x)
+        if resolve:
+            params = wnorm.resolve_large_weight_norms(params, min_elems=1)
+        z, logdet = exp.model.forward(params, x, cond)
+        return exp.criterion(z.astype(jnp.float32),
+                             logdet.astype(jnp.float32))
+
+    l0, g0 = jax.value_and_grad(loss)(state["params"], False)
+    l1, g1 = jax.value_and_grad(loss)(state["params"], True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # the default gate leaves small params untouched (identity tree)
+    resolved = wnorm.resolve_large_weight_norms(state["params"])
+    assert jax.tree_util.tree_structure(resolved) == \
+        jax.tree_util.tree_structure(state["params"])
