@@ -223,3 +223,38 @@ def test_waveflow_scanned_flows_match_unrolled(use_conv1x1):
     # layout roundtrip is exact
     back = eff.unstack_param_layout(ps)
     assert grad_err(back, p) == 0.0
+
+
+def test_waveflow_flow_remat_knob_equivalence():
+    """The hybrid-remat knob (scan_group.set_flow_remat; VERDICT r4 #4):
+    disabling the checkpointed scan body stores residuals instead of
+    recomputing, but forward/gradients are identical math."""
+    from constant_memory_waveglow_tpu.flows import scan_group
+
+    kw = dict(flows=3, n_group=8, n_mels=80, use_conv1x1=False,
+              dilation_channels=16, residual_channels=16, skip_channels=16,
+              bias=False, zero_init=False)
+    eff = WaveFlow(memory_efficient=True, **kw)
+    ps = eff.stack_param_layout(eff.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096)) * 0.1
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 80, 16))
+
+    loss = lambda p: crit(*eff.forward_computation(p, x, h))
+    assert scan_group.get_flow_remat()
+    l1, g1 = jax.value_and_grad(loss)(ps)
+    try:
+        scan_group.set_flow_remat(False)
+        l2, g2 = jax.value_and_grad(loss)(ps)
+    finally:
+        scan_group.set_flow_remat(True)
+    assert abs(float(l1) - float(l2)) < 1e-6
+    assert grad_err(g1, g2) < 1e-6
+
+    # unroll knob composes with the scan the same way
+    try:
+        scan_group.set_scan_unroll(3)
+        l3, g3 = jax.value_and_grad(loss)(ps)
+    finally:
+        scan_group.set_scan_unroll(1)
+    assert abs(float(l1) - float(l3)) < 1e-6
+    assert grad_err(g1, g3) < 1e-6
